@@ -1,0 +1,152 @@
+"""In-graph stochastic augmentation.
+
+The reference rebuilds host-side DGL graphs / COO tensors every
+training iteration (augmentation.py:13-124, called from train.py:267)
+— a full CPU graph reconstruction inside the hot loop.  Here every
+augmentation is a random *mask* drawn inside the jitted train step:
+shapes stay static, nothing is rebuilt, and the whole step stays on
+device.
+
+Parity notes (SURVEY.md §7.3.2-3):
+- augmentation runs unconditionally every iteration with default
+  methods ('edge_dropout', 'feature_noise');
+- edge dropout keeps the graph's original ci/cj norms (stale) and
+  drops forward/reverse etype edge sets independently;
+- the reference keeps exactly ``int(E*(1-p))`` edges via randperm; we
+  use iid Bernoulli(1-p) per edge — same marginal rate, statistically
+  equivalent for the edge counts involved (documented deviation);
+- dropped sparse-graph edges keep their stale row-normalised values.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from dream_gnn_tpu.config import AugmentConfig
+from dream_gnn_tpu.graph.knn import NormAdj
+
+
+def edge_dropout_masks(key, n_drug: int, n_dis: int, num_ratings: int,
+                       rate: float) -> Dict[str, jnp.ndarray]:
+    """Per-etype keep masks for the encoder heterograph.
+
+    Forward (drug->dis) and reverse (dis->drug) relations drop
+    independent edge sets (augmentation.py:35-62 iterates etypes
+    independently).
+    """
+    kf, kr = jax.random.split(key)
+    keep = 1.0 - rate
+    shape = (num_ratings, n_drug, n_dis)
+    return {
+        "fwd": jax.random.bernoulli(kf, keep, shape).astype(jnp.float32),
+        "rev": jax.random.bernoulli(kr, keep, shape).astype(jnp.float32),
+    }
+
+
+def sparse_edge_dropout(key, adj: NormAdj, rate: float) -> NormAdj:
+    """Drop entries of a (dense-layout) similarity adjacency.
+
+    Kept entries retain their original (now stale) row-normalised
+    values, matching ``random_edge_dropout_sparse``
+    (augmentation.py:92-124).
+    """
+    keep = jax.random.bernoulli(key, 1.0 - rate, adj.a.shape)
+    return NormAdj(a=adj.a * keep)
+
+
+def feature_noise(key, x: jnp.ndarray, scale: float) -> jnp.ndarray:
+    """Additive Gaussian noise (augmentation.py:208-241)."""
+    return x + scale * jax.random.normal(key, x.shape, x.dtype)
+
+
+def graph_noise(key, adj: NormAdj, scale: float) -> NormAdj:
+    """Gaussian noise on existing edge values, clamped >= 0
+    (augmentation.py:244-273)."""
+    nz = adj.a != 0
+    noisy = jnp.maximum(adj.a + scale * jax.random.normal(key, adj.a.shape), 0.0)
+    return NormAdj(a=jnp.where(nz, noisy, 0.0))
+
+
+def feature_masking(key, x: jnp.ndarray, rate: float) -> jnp.ndarray:
+    """Elementwise zero-masking WITHOUT rescaling (augmentation.py:276-308)."""
+    mask = jax.random.uniform(key, x.shape) > rate
+    return x * mask
+
+
+def mixup_features(key, x: jnp.ndarray, alpha: float) -> jnp.ndarray:
+    """Row mixup with Beta(alpha, alpha) coefficient (augmentation.py:311-337)."""
+    kp, kl = jax.random.split(key)
+    perm = jax.random.permutation(kp, x.shape[0])
+    lam = jax.random.beta(kl, alpha, alpha)
+    return lam * x + (1.0 - lam) * x[perm]
+
+
+def augment_inputs(key, inputs, cfg: AugmentConfig, num_ratings: int = 2):
+    """Apply the configured augmentation pipeline to one step's inputs.
+
+    Mirrors the ``augment_graph_data`` dispatcher (augmentation.py:
+    402-530): edge_dropout hits the encoder heterograph and all four
+    similarity graphs; feature_noise hits the node embeddings
+    (feature_noise_scale) and the similarity-feature rows
+    (sim_noise_scale); the decoder graph is never augmented
+    (train.py:269).
+
+    Returns (augmented ModelInputs, enc edge_masks or None).
+    """
+    import dataclasses as _dc
+
+    keys = jax.random.split(key, 24)
+    upd = {}
+    edge_masks = None
+    ki = iter(range(24))
+
+    for method in cfg.methods:
+        if method == "edge_dropout":
+            edge_masks = edge_dropout_masks(
+                keys[next(ki)], inputs.enc_graph.n_drug,
+                inputs.enc_graph.n_dis, num_ratings, cfg.edge_dropout_rate)
+            for field in ("drug_graph", "dis_graph",
+                          "drug_feature_graph", "dis_feature_graph"):
+                g = upd.get(field, getattr(inputs, field))
+                if g is not None:
+                    upd[field] = sparse_edge_dropout(
+                        keys[next(ki)], g, cfg.edge_dropout_rate)
+        elif method == "feature_noise":
+            for field, scale in (("drug_feat", cfg.feature_noise_scale),
+                                 ("dis_feat", cfg.feature_noise_scale),
+                                 ("drug_sim_feat", cfg.sim_noise_scale),
+                                 ("dis_sim_feat", cfg.sim_noise_scale)):
+                x = upd.get(field, getattr(inputs, field))
+                upd[field] = feature_noise(keys[next(ki)], x, scale)
+        elif method == "graph_noise":
+            for field in ("drug_graph", "dis_graph",
+                          "drug_feature_graph", "dis_feature_graph"):
+                g = upd.get(field, getattr(inputs, field))
+                if g is not None:
+                    upd[field] = graph_noise(keys[next(ki)], g,
+                                             cfg.graph_noise_scale)
+        elif method == "feature_masking":
+            for field in ("drug_feat", "dis_feat"):
+                x = upd.get(field, getattr(inputs, field))
+                upd[field] = feature_masking(keys[next(ki)], x,
+                                             cfg.feature_mask_rate)
+        elif method == "mix_up":
+            for field in ("drug_feat", "dis_feat"):
+                x = upd.get(field, getattr(inputs, field))
+                upd[field] = mixup_features(keys[next(ki)], x,
+                                            cfg.mixup_alpha)
+        elif method == "add_random_edges":
+            # Reference add_random_edges mutates the DGL heterograph with
+            # host-side rejection sampling (augmentation.py:127-205).  The
+            # in-graph equivalent adds Bernoulli(add_rate * density) edges
+            # outside the current fold mask; modelled as negative dropout
+            # on the edge mask — implemented when a config requests it.
+            raise NotImplementedError(
+                "add_random_edges: not part of the default pipeline")
+        else:
+            raise ValueError(f"unknown augmentation method {method!r}")
+
+    return (_dc.replace(inputs, **upd) if upd else inputs), edge_masks

@@ -1,0 +1,108 @@
+"""Dataset assembly: raw data -> device-resident fold arrays.
+
+TPU re-design of the reference ``DrugDataLoader`` (data_loader.py:41-597).
+Host-side numpy builds splits and graph layouts once; everything the
+train loop touches is a static-shape jnp array.
+
+Reference parity notes:
+- node features are the L2-row-normalised pretrained embeddings
+  (data_loader.py:205-228);
+- the FGCN inputs are the *raw* similarity-matrix rows;
+- the "fold-specific" similarity/feature kNN graphs are in fact
+  fold-invariant (built from full matrices every fold; SURVEY.md
+  §7.3.11) — built once here;
+- the test encoder graph is built from the *test* pairs with their true
+  labels as edge types and is what evaluation runs on (parity trap
+  §7.3.1).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from dream_gnn_tpu.data.splits import FoldSplit, make_cv_splits
+from dream_gnn_tpu.data.synthetic import RawData, synthetic_raw_data
+from dream_gnn_tpu.graph.bipartite import BipartiteGraph, build_enc_graph
+from dream_gnn_tpu.graph.knn import NormAdj, feature_knn_graph, knn_sim_graph
+
+
+@dataclasses.dataclass(frozen=True)
+class FoldData:
+    """Arrays for one CV fold."""
+
+    train_enc: BipartiteGraph
+    train_src: jnp.ndarray          # (E_train,) int32, pair order
+    train_dst: jnp.ndarray
+    train_labels: jnp.ndarray       # (E_train,) float32
+    test_enc: BipartiteGraph
+    test_src: jnp.ndarray
+    test_dst: jnp.ndarray
+    test_labels: jnp.ndarray
+
+
+class DreamDataset:
+    """Loads/generates a dataset and materialises all folds."""
+
+    def __init__(self, raw: RawData, *, k: int = 4, symm: bool = True,
+                 n_folds: int = 10, kfold_seed: int = 1024):
+        self.raw = raw
+        self.n_drug = raw.n_drug
+        self.n_dis = raw.n_dis
+        self.k = k
+        self.symm = symm
+
+        # Features: L2-normalised embeddings (data_loader.py:221-222).
+        def _l2(x):
+            n = np.linalg.norm(x, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            return (x / n).astype(np.float32)
+
+        self.drug_feat = jnp.asarray(_l2(raw.drug_embed))
+        self.dis_feat = jnp.asarray(_l2(raw.dis_embed))
+        self.drug_sim_feat = jnp.asarray(raw.drug_sim, jnp.float32)
+        self.dis_sim_feat = jnp.asarray(raw.dis_sim, jnp.float32)
+
+        # Fold-invariant kNN graphs (built once; see module docstring).
+        self.drug_graph: NormAdj = knn_sim_graph(raw.drug_sim, k, symm)
+        self.dis_graph: NormAdj = knn_sim_graph(raw.dis_sim, k, symm)
+        self.drug_feature_graph: NormAdj = feature_knn_graph(raw.drug_embed, k, symm)
+        self.dis_feature_graph: NormAdj = feature_knn_graph(raw.dis_embed, k, symm)
+
+        self.splits: Dict[int, FoldSplit] = make_cv_splits(
+            raw.association, n_folds=n_folds, seed=kfold_seed)
+        self._folds: Dict[int, FoldData] = {}
+
+    @classmethod
+    def load(cls, name_or_path: str, *, k: int = 4, symm: bool = True,
+             n_folds: int = 10, kfold_seed: int = 1024,
+             synthetic_seed: Optional[int] = None) -> "DreamDataset":
+        """Load a .mat file, or generate a synthetic preset by name."""
+        if name_or_path.endswith(".mat"):
+            from dream_gnn_tpu.data.matio import load_mat
+            raw = load_mat(name_or_path)
+        else:
+            raw = synthetic_raw_data(name_or_path,
+                                     seed=synthetic_seed or 0)
+        return cls(raw, k=k, symm=symm, n_folds=n_folds,
+                   kfold_seed=kfold_seed)
+
+    def fold(self, cv: int) -> FoldData:
+        if cv not in self._folds:
+            s = self.splits[cv]
+            self._folds[cv] = FoldData(
+                train_enc=build_enc_graph(s.train_pairs, s.train_values,
+                                          self.n_drug, self.n_dis, self.symm),
+                train_src=jnp.asarray(s.train_pairs[0], jnp.int32),
+                train_dst=jnp.asarray(s.train_pairs[1], jnp.int32),
+                train_labels=jnp.asarray(s.train_values),
+                test_enc=build_enc_graph(s.test_pairs, s.test_values,
+                                         self.n_drug, self.n_dis, self.symm),
+                test_src=jnp.asarray(s.test_pairs[0], jnp.int32),
+                test_dst=jnp.asarray(s.test_pairs[1], jnp.int32),
+                test_labels=jnp.asarray(s.test_values),
+            )
+        return self._folds[cv]

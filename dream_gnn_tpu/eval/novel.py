@@ -1,0 +1,66 @@
+"""Novel-prediction reporting (reference ``get_top_novel_predictions``,
+train.py:26-151).
+
+Scores every zero cell of the association matrix with the trained
+model — encoder on the *train* encoder graph (train.py:80-84) — applies
+a sigmoid, and writes the top-k pairs (with drug names when available)
+to CSV.
+
+The reference batches candidate pairs 5000 at a time and rebuilds a DGL
+decoder graph per batch; here all candidates are scored in one jitted
+forward (the decoder is two row-gathers + a tiny MLP per edge, so even
+the full 763x681 grid is trivial on a TPU chip).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+from dream_gnn_tpu.config import ModelConfig
+from dream_gnn_tpu.data.loader import DreamDataset
+from dream_gnn_tpu.model.dream_gnn import forward
+from dream_gnn_tpu.train.loop import fold_inputs
+
+
+def get_top_novel_predictions(params, model_cfg: ModelConfig,
+                              dataset: DreamDataset, cv: int,
+                              top_k: int = 200,
+                              save_path: Optional[str] = None):
+    """Returns a list of dicts {drug_id, disease_id, score[, drug_name]}."""
+    train_inputs, _, _, _ = fold_inputs(dataset, cv)
+
+    assoc = np.asarray(dataset.raw.association)
+    zr, zc = np.nonzero(assoc == 0)
+    candidates = dataclasses.replace(
+        train_inputs,
+        dec_src=jax.numpy.asarray(zr, jax.numpy.int32),
+        dec_dst=jax.numpy.asarray(zc, jax.numpy.int32))
+
+    pred, *_ = jax.jit(
+        lambda p, x: forward(p, x, model_cfg, train=False))(params, candidates)
+    scores = jax.nn.sigmoid(pred)
+    scores = np.asarray(scores)
+
+    order = np.argsort(-scores)[:top_k]
+    rows = []
+    for i in order:
+        row = dict(drug_id=int(zr[i]), disease_id=int(zc[i]),
+                   score=float(scores[i]))
+        if dataset.raw.drug_ids is not None:
+            row["drug_name"] = dataset.raw.drug_ids[int(zr[i])]
+        rows.append(row)
+
+    if save_path:
+        os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+        cols = list(rows[0].keys()) if rows else [
+            "drug_id", "disease_id", "score"]
+        with open(save_path, "w") as f:
+            f.write(",".join(cols) + "\n")
+            for row in rows:
+                f.write(",".join(str(row[c]) for c in cols) + "\n")
+    return rows

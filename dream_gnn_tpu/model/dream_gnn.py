@@ -1,0 +1,124 @@
+"""DREAM-GNN dual-route model composition.
+
+Re-design of reference ``Net`` (model.py:4-103):
+
+- **GCMC route**: L stacked relation-typed bipartite conv layers with
+  decayed residual accumulation ``out = h1 + h2/2 + h3/3``
+  (model.py:67-76) while features chain layer-to-layer;
+- **FGCN route**: two 2-layer GCNs per entity over the kNN similarity
+  and feature-kNN graphs (model.py:79-83);
+- one **shared** Attention instance fuses the two routes for drugs and
+  diseases alike (model.py:55,93-97 — parity trap §7.3.7);
+- the MLP decoder scores candidate edges (model.py:100).
+
+Everything is a pure function of (params, inputs, key) and jit/vmaps
+over folds; ``train`` is a static trace-time flag.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from dream_gnn_tpu.config import ModelConfig
+from dream_gnn_tpu.graph.bipartite import BipartiteGraph
+from dream_gnn_tpu.nn.attention import attention_apply, attention_init
+from dream_gnn_tpu.nn.decoder import decoder_apply, decoder_init
+from dream_gnn_tpu.nn.fgcn import fgcn_apply, fgcn_init
+from dream_gnn_tpu.nn.gcmc import gcmc_layer_apply, gcmc_layer_init
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ModelInputs:
+    """One forward pass's graph+feature inputs (mirrors Net.forward's
+    argument list, model.py:60-64)."""
+
+    enc_graph: BipartiteGraph
+    dec_src: jnp.ndarray               # (E,) drug ids, candidate-pair order
+    dec_dst: jnp.ndarray               # (E,) disease ids
+    drug_graph: Any                    # NormAdj | CooGraph | dense array
+    drug_sim_feat: jnp.ndarray         # (n_drug, fdim_drug) similarity rows
+    drug_feat: jnp.ndarray             # (n_drug, src_in_units) embeddings
+    dis_graph: Any
+    dis_sim_feat: jnp.ndarray
+    dis_feat: jnp.ndarray
+    drug_feature_graph: Any = None
+    dis_feature_graph: Any = None
+
+
+def init_params(key, cfg: ModelConfig):
+    n_layers = cfg.layers
+    keys = jax.random.split(key, n_layers + 3)
+    tgcn = []
+    for i in range(n_layers):
+        tgcn.append(gcmc_layer_init(
+            keys[i],
+            in_units=cfg.layer_in_units(i),
+            msg_units=cfg.effective_msg_units(i),
+            out_units=cfg.gcn_out_units,
+            num_ratings=cfg.num_ratings,
+            basis_units=cfg.basis_units,
+            share_param=cfg.share_param))
+    return {
+        "tgcn": tgcn,
+        "fgcn": fgcn_init(keys[-3], fdim_drug=cfg.fdim_drug,
+                          fdim_disease=cfg.fdim_disease,
+                          nhid1=cfg.nhid1, nhid2=cfg.nhid2),
+        "attention": attention_init(keys[-2], in_size=cfg.gcn_out_units,
+                                    hidden_size=cfg.attention_hidden),
+        "decoder": decoder_init(keys[-1], in_units=cfg.gcn_out_units,
+                                hidden1=cfg.decoder_hidden1,
+                                hidden2=cfg.decoder_hidden2),
+    }
+
+
+def forward(params, inputs: ModelInputs, cfg: ModelConfig, *,
+            train: bool = False, key: Optional[jax.Array] = None,
+            edge_masks=None):
+    """Full dual-route forward.
+
+    Returns (pred_logits, drug_out, drug_sim_out, dis_out, dis_sim_out)
+    — the intermediates feed the covariance common loss (train.py:289).
+    """
+    if train:
+        assert key is not None
+        keys = jax.random.split(key, cfg.layers + 4)
+    else:
+        keys = [None] * (cfg.layers + 4)
+
+    drug_feat, dis_feat = inputs.drug_feat, inputs.dis_feat
+    drug_out = dis_out = 0.0
+    for i in range(cfg.layers):
+        drug_o, dis_o = gcmc_layer_apply(
+            params["tgcn"][i], inputs.enc_graph, drug_feat, dis_feat,
+            dropout_rate=cfg.dropout, agg_act=cfg.model_activation,
+            share_param=cfg.share_param, train=train, key=keys[i],
+            edge_masks=edge_masks)
+        # Decayed residual accumulation (model.py:67-76).
+        drug_out = drug_o if i == 0 else drug_out + drug_o / float(i + 1)
+        dis_out = dis_o if i == 0 else dis_out + dis_o / float(i + 1)
+        drug_feat, dis_feat = drug_o, dis_o
+
+    drug_sim_out, dis_sim_out, *_ = fgcn_apply(
+        params["fgcn"], inputs.drug_graph, inputs.drug_sim_feat,
+        inputs.dis_graph, inputs.dis_sim_feat,
+        inputs.drug_feature_graph, inputs.dis_feature_graph,
+        dropout_rate=cfg.dropout, train=train, key=keys[cfg.layers])
+
+    drug_feats, _ = attention_apply(
+        params["attention"], jnp.stack([drug_out, drug_sim_out], axis=1),
+        dropout_rate=cfg.attention_dropout, train=train,
+        key=keys[cfg.layers + 1])
+    dis_feats, _ = attention_apply(
+        params["attention"], jnp.stack([dis_out, dis_sim_out], axis=1),
+        dropout_rate=cfg.attention_dropout, train=train,
+        key=keys[cfg.layers + 2])
+
+    pred = decoder_apply(params["decoder"], inputs.dec_src, inputs.dec_dst,
+                         drug_feats, dis_feats, dropout_rate=cfg.dropout,
+                         train=train, key=keys[cfg.layers + 3])
+    return pred, drug_out, drug_sim_out, dis_out, dis_sim_out

@@ -1,0 +1,122 @@
+"""CLI entry point with reference flag-name parity (train.py:403-452).
+
+Usage:  python -m dream_gnn_tpu.train.cli --data_name Gdataset ...
+
+Datasets resolve to a ``.mat`` path when one is supplied (or found
+under ``raw_data/drug_data/{name}/{name}.mat``, the reference layout)
+and otherwise fall back to the synthetic preset of the same name
+(the reference dataset blobs are not redistributable).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+
+from dream_gnn_tpu.config import AugmentConfig, ModelConfig, TrainConfig
+from dream_gnn_tpu.data.loader import DreamDataset
+from dream_gnn_tpu.train.harness import run_experiments
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="DREAM-GNN-TPU training")
+    p.add_argument("--data_name", default="Gdataset", type=str)
+    p.add_argument("--data_path", default=None, type=str,
+                   help="explicit .mat path; overrides --data_name lookup")
+    p.add_argument("--save_dir", type=str, default="seed_experiments")
+    p.add_argument("--model_activation", type=str, default="leaky")
+    p.add_argument("--dropout", type=float, default=0.3)
+    p.add_argument("--gcn_agg_units", type=int, default=1024)
+    p.add_argument("--gcn_agg_accum", type=str, default="sum")
+    p.add_argument("--gcn_out_units", type=int, default=128)
+    p.add_argument("--train_max_iter", type=int, default=18000)
+    p.add_argument("--train_grad_clip", type=float, default=1.0)
+    p.add_argument("--train_valid_interval", type=int, default=250)
+    p.add_argument("--gcn_agg_norm_symm", type=bool, default=True)
+    p.add_argument("--nhid1", type=int, default=768)
+    p.add_argument("--nhid2", type=int, default=128)
+    p.add_argument("--train_lr", type=float, default=0.002)
+    p.add_argument("--layers", type=int, default=3)
+    p.add_argument("--share_param", default=True, action="store_true")
+    p.add_argument("--num_neighbor", type=int, default=4)
+    p.add_argument("--beta", type=float, default=0.001)
+    p.add_argument("--weight_decay", type=float, default=1e-5)
+    p.add_argument("--attention_dropout", type=float, default=0.1)
+    p.add_argument("--aug_methods", type=str, nargs="+",
+                   default=["edge_dropout", "feature_noise"],
+                   choices=["edge_dropout", "add_random_edges",
+                            "feature_noise", "graph_noise",
+                            "feature_masking", "mix_up"])
+    p.add_argument("--edge_dropout_rate", type=float, default=0.1)
+    p.add_argument("--add_edge_rate", type=float, default=0.03)
+    p.add_argument("--feature_noise_scale", type=float, default=0.05)
+    p.add_argument("--graph_noise_scale", type=float, default=0.03)
+    p.add_argument("--feature_mask_rate", type=float, default=0.1)
+    p.add_argument("--mixup_alpha", type=float, default=0.2)
+    p.add_argument("--save_model", action="store_true")
+    p.add_argument("--label_smoothing", type=float, default=0.0)
+    p.add_argument("--generate_top_predictions", action="store_true",
+                   default=False)
+    p.add_argument("--top_k", type=int, default=200)
+    p.add_argument("--seeds", type=int, nargs="+", default=None,
+                   help="override the fixed seed list")
+    p.add_argument("--folds", type=int, nargs="+", default=None,
+                   help="subset of CV folds to run")
+    return p
+
+
+def config_from_args(args) -> TrainConfig:
+    model = ModelConfig(
+        layers=args.layers, gcn_agg_units=args.gcn_agg_units,
+        gcn_agg_accum=args.gcn_agg_accum, gcn_out_units=args.gcn_out_units,
+        share_param=args.share_param, model_activation=args.model_activation,
+        nhid1=args.nhid1, nhid2=args.nhid2, dropout=args.dropout,
+        attention_dropout=args.attention_dropout)
+    augment = AugmentConfig(
+        methods=tuple(args.aug_methods),
+        edge_dropout_rate=args.edge_dropout_rate,
+        add_edge_rate=args.add_edge_rate,
+        feature_noise_scale=args.feature_noise_scale,
+        graph_noise_scale=args.graph_noise_scale,
+        feature_mask_rate=args.feature_mask_rate,
+        mixup_alpha=args.mixup_alpha)
+    cfg = TrainConfig(
+        data_name=args.data_name, save_dir=args.save_dir,
+        num_neighbor=args.num_neighbor,
+        gcn_agg_norm_symm=args.gcn_agg_norm_symm,
+        train_lr=args.train_lr, weight_decay=args.weight_decay,
+        train_grad_clip=args.train_grad_clip,
+        train_max_iter=args.train_max_iter,
+        train_valid_interval=args.train_valid_interval,
+        beta=args.beta, label_smoothing=args.label_smoothing,
+        save_model=args.save_model,
+        generate_top_predictions=args.generate_top_predictions,
+        top_k=args.top_k, model=model, augment=augment)
+    if args.seeds is not None:
+        cfg = dataclasses.replace(cfg, seeds=tuple(args.seeds))
+    return cfg
+
+
+def resolve_dataset(args, cfg: TrainConfig) -> DreamDataset:
+    path = args.data_path
+    if path is None:
+        candidate = os.path.join("raw_data", "drug_data", cfg.data_name,
+                                 f"{cfg.data_name}.mat")
+        path = candidate if os.path.exists(candidate) else cfg.data_name
+    return DreamDataset.load(path, k=cfg.num_neighbor,
+                             symm=cfg.gcn_agg_norm_symm,
+                             n_folds=cfg.n_folds,
+                             kfold_seed=cfg.kfold_seed)
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
+    print(args)
+    dataset = resolve_dataset(args, cfg)
+    return run_experiments(dataset, cfg, seeds=args.seeds, folds=args.folds)
+
+
+if __name__ == "__main__":
+    main()

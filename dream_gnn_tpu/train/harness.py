@@ -1,0 +1,101 @@
+"""Experiment harness: fixed seeds x 10-fold CV (reference
+train.py:456-556).
+
+Artifact contract kept: per-seed directories
+``{save_dir}/seed_{seed}/`` with ``experiment_results.csv`` (per-fold
+AUROC/AUPR + average), and a global ``summary_results.csv`` with
+per-seed averages, overall mean, and std.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+
+from dream_gnn_tpu.config import TrainConfig
+from dream_gnn_tpu.data.loader import DreamDataset
+from dream_gnn_tpu.eval.novel import get_top_novel_predictions
+from dream_gnn_tpu.train.loop import train_fold
+
+
+def run_experiments(dataset: DreamDataset, cfg: TrainConfig, *,
+                    seeds: Optional[Sequence[int]] = None,
+                    folds: Optional[Sequence[int]] = None,
+                    verbose: bool = True):
+    """Run the full protocol; returns the summary dict."""
+    seeds = list(seeds if seeds is not None else cfg.seeds)
+    folds = list(folds if folds is not None else range(cfg.n_folds))
+
+    all_results = []
+    train_fns = None
+    for exp_idx, seed in enumerate(seeds):
+        if verbose:
+            print(f"======== Experiment {exp_idx + 1}/{len(seeds)} "
+                  f"with seed {seed} ========")
+        exp_dir = os.path.join(cfg.save_dir, f"seed_{seed}")
+        os.makedirs(exp_dir, exist_ok=True)
+        seed_key = jax.random.key(seed)
+
+        fold_results = []
+        for cv in folds:
+            if verbose:
+                print(f"============== Fold {cv + 1} ==============")
+            fold_key = jax.random.fold_in(seed_key, cv)
+            res = train_fold(dataset, cv, cfg, fold_key,
+                             save_dir=exp_dir, save_id=cv + 1,
+                             verbose=verbose, train_fns=train_fns)
+            train_fns = res["train_fns"]
+            fold_results.append((res["best_auroc"], res["best_aupr"]))
+            if cfg.save_model and cfg.generate_top_predictions \
+                    and res["best_params"] is not None:
+                get_top_novel_predictions(
+                    res["best_params"], res["model_cfg"], dataset, cv,
+                    top_k=cfg.top_k,
+                    save_path=os.path.join(
+                        exp_dir,
+                        f"top{cfg.top_k}_novel_predictions_fold{cv + 1}.csv"))
+
+        avg_auroc = float(np.mean([r[0] for r in fold_results]))
+        avg_aupr = float(np.mean([r[1] for r in fold_results]))
+        with open(os.path.join(exp_dir, "experiment_results.csv"), "w") as f:
+            f.write("fold,auroc,aupr\n")
+            for i, (a, p) in enumerate(fold_results):
+                f.write(f"{i + 1},{a:.4f},{p:.4f}\n")
+            f.write(f"average,{avg_auroc:.4f},{avg_aupr:.4f}\n")
+        all_results.append(dict(seed=seed, avg_auroc=avg_auroc,
+                                avg_aupr=avg_aupr,
+                                fold_results=fold_results))
+        if verbose:
+            print(f"Experiment {exp_idx + 1} (Seed {seed}) - "
+                  f"Avg AUROC: {avg_auroc:.4f}, Avg AUPR: {avg_aupr:.4f}")
+
+    aurocs = [r["avg_auroc"] for r in all_results]
+    auprs = [r["avg_aupr"] for r in all_results]
+    summary = dict(
+        mean_auroc=float(np.mean(aurocs)), std_auroc=float(np.std(aurocs)),
+        mean_aupr=float(np.mean(auprs)), std_aupr=float(np.std(auprs)),
+        best_seed=seeds[int(np.argmax(aurocs))],
+        worst_seed=seeds[int(np.argmin(aurocs))],
+        results=all_results)
+
+    os.makedirs(cfg.save_dir, exist_ok=True)
+    with open(os.path.join(cfg.save_dir, "summary_results.csv"), "w") as f:
+        f.write("experiment,seed,avg_auroc,avg_aupr\n")
+        for i, r in enumerate(all_results):
+            f.write(f"{i + 1},{r['seed']},{r['avg_auroc']:.4f},"
+                    f"{r['avg_aupr']:.4f}\n")
+        f.write(f"overall,NA,{summary['mean_auroc']:.4f},"
+                f"{summary['mean_aupr']:.4f}\n")
+        f.write(f"std,NA,{summary['std_auroc']:.4f},"
+                f"{summary['std_aupr']:.4f}\n")
+
+    if verbose:
+        print("\n===== OVERALL RESULTS =====")
+        print(f"Overall Average - AUROC: {summary['mean_auroc']:.4f} "
+              f"± {summary['std_auroc']:.4f}, "
+              f"AUPR: {summary['mean_aupr']:.4f} "
+              f"± {summary['std_aupr']:.4f}")
+    return summary

@@ -1,0 +1,159 @@
+"""Per-fold training loop (reference ``train()``, train.py:154-395).
+
+Differences from the reference, by design:
+- the whole eval interval (250 iterations) runs as ONE compiled scan on
+  device — no host work inside the hot loop;
+- augmentation is in-graph masking (augment/masks.py);
+- metrics are computed on device with sklearn-equivalent math.
+
+Protocol parity kept: iteration count ``range(1, train_max_iter)``,
+eval cadence, train-eval on the train encoder graph vs test-eval on the
+test encoder graph (§7.3.1), plateau LR on test AUPR, best-by-test-AUPR
+selection, and the CSV logging contract.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from dream_gnn_tpu.config import ModelConfig, TrainConfig
+from dream_gnn_tpu.data.loader import DreamDataset
+from dream_gnn_tpu.model.dream_gnn import ModelInputs, init_params
+from dream_gnn_tpu.train.checkpoint import save_pytree
+from dream_gnn_tpu.train.optim import PlateauScheduler
+from dream_gnn_tpu.train.step import make_train_fns
+from dream_gnn_tpu.utils.logging import MetricLogger
+
+
+def derive_model_cfg(cfg: TrainConfig, dataset: DreamDataset) -> ModelConfig:
+    """Wire data-dependent dims (reference train.py:172-179)."""
+    return dataclasses.replace(
+        cfg.model,
+        src_in_units=dataset.drug_feat.shape[1],
+        dst_in_units=dataset.dis_feat.shape[1],
+        fdim_drug=dataset.n_drug,
+        fdim_disease=dataset.n_dis)
+
+
+def fold_inputs(dataset: DreamDataset, cv: int):
+    """(train_inputs, test_eval_inputs, train_labels, test_labels)."""
+    fold = dataset.fold(cv)
+    common = dict(
+        drug_graph=dataset.drug_graph,
+        drug_sim_feat=dataset.drug_sim_feat,
+        drug_feat=dataset.drug_feat,
+        dis_graph=dataset.dis_graph,
+        dis_sim_feat=dataset.dis_sim_feat,
+        dis_feat=dataset.dis_feat,
+        drug_feature_graph=dataset.drug_feature_graph,
+        dis_feature_graph=dataset.dis_feature_graph)
+    train_inputs = ModelInputs(
+        enc_graph=fold.train_enc, dec_src=fold.train_src,
+        dec_dst=fold.train_dst, **common)
+    test_inputs = ModelInputs(
+        enc_graph=fold.test_enc, dec_src=fold.test_src,
+        dec_dst=fold.test_dst, **common)
+    return train_inputs, test_inputs, fold.train_labels, fold.test_labels
+
+
+def train_fold(dataset: DreamDataset, cv: int, cfg: TrainConfig,
+               seed_key: jax.Array, *, save_dir: Optional[str] = None,
+               save_id: int = 0, verbose: bool = True,
+               train_fns=None):
+    """Train one fold; returns a result dict with best metrics.
+
+    ``train_fns`` may carry the (init_state, run_steps, evaluate)
+    triple from a previous fold so compiled steps are reused across
+    folds/seeds (the shapes match; the reference instead re-runs Python
+    for every fold).
+    """
+    model_cfg = derive_model_cfg(cfg, dataset)
+    if train_fns is None:
+        train_fns = make_train_fns(model_cfg, cfg)
+    init_state, run_steps, evaluate = train_fns
+
+    train_inputs, test_inputs, train_labels, test_labels = fold_inputs(
+        dataset, cv)
+
+    k_params, k_state = jax.random.split(seed_key)
+    params = init_params(k_params, model_cfg)
+    state = init_state(params, k_state)
+    plateau = PlateauScheduler(cfg.train_lr, patience=cfg.plateau_patience,
+                               factor=cfg.plateau_factor)
+
+    logger = None
+    if save_dir:
+        os.makedirs(save_dir, exist_ok=True)
+        logger = MetricLogger(
+            ["iter", "loss", "train_auroc", "train_aupr",
+             "test_auroc", "test_aupr"],
+            ["%d", "%.4f", "%.4f", "%.4f", "%.4f", "%.4f"],
+            os.path.join(save_dir, f"test_metric{save_id}.csv"))
+
+    best = dict(aupr=-1.0, auroc=0.0, iter=0, train_aupr=0.0,
+                train_auroc=0.0)
+    best_params = None
+    total_iters = cfg.train_max_iter - 1      # range(1, max_iter)
+    done = 0
+    t0 = time.perf_counter()
+
+    while done < total_iters:
+        chunk = min(cfg.train_valid_interval, total_iters - done)
+        state, losses = run_steps(state, train_inputs, train_labels, chunk)
+        done += chunk
+        if done % cfg.train_valid_interval != 0:
+            break  # trailing partial chunk: reference never evals there
+
+        tr_auroc, tr_aupr, _ = evaluate(state.params, train_inputs,
+                                        train_labels)
+        te_auroc, te_aupr, _ = evaluate(state.params, test_inputs,
+                                        test_labels)
+        loss = float(losses[-1])
+        tr_auroc, tr_aupr = float(tr_auroc), float(tr_aupr)
+        te_auroc, te_aupr = float(te_auroc), float(te_aupr)
+
+        new_lr = plateau.step(te_aupr)
+        if new_lr != float(state.lr):
+            state = dataclasses.replace(
+                state, lr=jax.numpy.asarray(new_lr, jax.numpy.float32))
+
+        if logger:
+            logger.log(iter=done, loss=loss, train_auroc=tr_auroc,
+                       train_aupr=tr_aupr, test_auroc=te_auroc,
+                       test_aupr=te_aupr)
+        if verbose:
+            print(f"Iter={done:5d}, Loss={loss:.4f}, "
+                  f"Train: AUROC={tr_auroc:.4f}, AUPR={tr_aupr:.4f}, "
+                  f"Test: AUROC={te_auroc:.4f}, AUPR={te_aupr:.4f}")
+
+        if te_aupr > best["aupr"]:
+            best = dict(aupr=te_aupr, auroc=te_auroc, iter=done,
+                        train_aupr=tr_aupr, train_auroc=tr_auroc)
+            if cfg.save_model:
+                best_params = jax.tree.map(np.asarray, state.params)
+
+    elapsed = time.perf_counter() - t0
+    if logger:
+        logger.close()
+    if save_dir:
+        with open(os.path.join(save_dir, f"best_metric{save_id}.csv"),
+                  "w") as f:
+            f.write("iter,train_auroc,train_aupr,test_auroc,test_aupr\n")
+            f.write(f"{best['iter']},{best['train_auroc']:.4f},"
+                    f"{best['train_aupr']:.4f},{best['auroc']:.4f},"
+                    f"{best['aupr']:.4f}\n")
+        if cfg.save_model and best_params is not None:
+            save_pytree(os.path.join(save_dir,
+                                     f"best_model_fold{save_id}.npz"),
+                        best_params)
+
+    return dict(best_auroc=best["auroc"], best_aupr=best["aupr"],
+                best_iter=best["iter"], elapsed_s=elapsed,
+                final_state=state, best_params=best_params,
+                train_fns=train_fns, model_cfg=model_cfg)

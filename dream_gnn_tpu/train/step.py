@@ -1,0 +1,100 @@
+"""Jitted training/eval step factories.
+
+The reference's hot loop (train.py:249-300) does host-side graph
+augmentation, a forward, a backward and an Adam step per iteration,
+with host<->device ping-pong every iteration.  Here one compiled
+``lax.scan`` runs a whole eval interval (default 250 steps) on device:
+augment-as-masks -> dual-route forward -> loss -> grads -> Adam, with
+the learning rate as a carried scalar so the host-side plateau
+scheduler can adjust it between scans.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from dream_gnn_tpu.augment.masks import augment_inputs
+from dream_gnn_tpu.config import ModelConfig, TrainConfig
+from dream_gnn_tpu.model.dream_gnn import ModelInputs, forward
+from dream_gnn_tpu.train.losses import total_loss
+from dream_gnn_tpu.train.optim import make_optimizer
+from dream_gnn_tpu.utils.metrics import aupr, auroc
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    key: jax.Array
+    lr: jax.Array          # scalar; host plateau scheduler rewrites it
+
+
+def make_train_fns(model_cfg: ModelConfig, train_cfg: TrainConfig):
+    """Build (init_state, run_steps, evaluate) for one dataset shape.
+
+    All returned callables are jitted and take graph/feature inputs as
+    arguments (not closures), so one compilation serves every fold and
+    seed of a dataset.
+    """
+    tx = make_optimizer(train_cfg.train_grad_clip, train_cfg.weight_decay)
+    augment = train_cfg.augment
+
+    def init_state(params, key, lr=None):
+        return TrainState(
+            params=params,
+            opt_state=tx.init(params),
+            key=key,
+            lr=jnp.asarray(lr if lr is not None else train_cfg.train_lr,
+                           jnp.float32))
+
+    def loss_fn(params, inputs: ModelInputs, labels, key, edge_masks):
+        pred, drug_out, drug_sim_out, dis_out, dis_sim_out = forward(
+            params, inputs, model_cfg, train=True, key=key,
+            edge_masks=edge_masks)
+        loss, rel = total_loss(
+            pred, labels, drug_out, drug_sim_out, dis_out, dis_sim_out,
+            beta=train_cfg.beta, smoothing=train_cfg.label_smoothing)
+        return loss, rel
+
+    def one_step(state: TrainState, inputs: ModelInputs, labels):
+        key, k_aug, k_fwd = jax.random.split(state.key, 3)
+        aug_inputs, edge_masks = augment_inputs(
+            k_aug, inputs, augment, num_ratings=model_cfg.num_ratings)
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, aug_inputs, labels, k_fwd, edge_masks)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(
+            state.params,
+            jax.tree.map(lambda u: -state.lr * u, updates))
+        return TrainState(params=params, opt_state=opt_state, key=key,
+                          lr=state.lr), loss
+
+    @partial(jax.jit, static_argnames=("n_steps",), donate_argnums=(0,))
+    def run_steps(state: TrainState, inputs: ModelInputs, labels,
+                  n_steps: int):
+        """Run ``n_steps`` training iterations in one compiled scan."""
+        def body(carry, _):
+            return one_step(carry, inputs, labels)
+
+        state, losses = jax.lax.scan(body, state, length=n_steps)
+        return state, losses
+
+    @jax.jit
+    def evaluate(params, inputs: ModelInputs, labels):
+        """Eval forward (dropout elided) + on-device AUROC/AUPR.
+
+        Parity trap §7.3.1: the caller chooses ``inputs.enc_graph`` —
+        test-set evaluation runs the encoder on the *test* encoder
+        graph, exactly like evaluation.py:32-34 + train.py:203-204.
+        """
+        pred, *_ = forward(params, inputs, model_cfg, train=False)
+        return auroc(labels, pred), aupr(labels, pred), pred
+
+    return init_state, run_steps, evaluate
