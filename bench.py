@@ -1,0 +1,244 @@
+#!/usr/bin/env python
+"""Benchmark: training-step edge throughput on the lrssl-scale config.
+
+Headline metric (BASELINE.json): edges/s/chip over the full training
+step (forward + backward + Adam), where "edges" counts every message
+aggregated by the step:
+
+  - GCMC route: R ratings x 2 directions x L layers cover each in-fold
+    pair once per forward -> 4*L*E_pairs messages, doubled for the
+    backward SpMM (transposed graph);
+  - FGCN route: 4 GCN applications x 2 layers over the kNN adjacencies'
+    nonzeros, doubled for backward;
+  - decoder: one gather per candidate edge, doubled for backward.
+
+``vs_baseline``: the reference publishes no numbers and its DGL/CUDA
+stack is unavailable here, so the baseline is an eager PyTorch-CPU
+implementation of the same training step (the reference is
+single-device PyTorch; this is the closest runnable stand-in),
+measured in-process.  vs_baseline = tpu_edges_per_s / torch_edges_per_s.
+
+Prints exactly ONE JSON line on stdout; diagnostics go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def edges_per_step(dataset, model_cfg) -> float:
+    e_pairs = float(np.asarray(dataset.fold(0).train_enc.mask).sum())
+    gcmc = 4.0 * model_cfg.layers * e_pairs
+    knn_nnz = sum(float((np.asarray(g.a) != 0).sum()) for g in (
+        dataset.drug_graph, dataset.dis_graph,
+        dataset.drug_feature_graph, dataset.dis_feature_graph))
+    fgcn = 2.0 * knn_nnz               # 2 GCN layers per application
+    dec = e_pairs
+    return 2.0 * (gcmc + fgcn + dec)   # x2: forward + backward
+
+
+def bench_tpu(dataset, cfg, model_cfg, steps=100, repeats=3):
+    import jax
+    from dream_gnn_tpu.model.dream_gnn import init_params
+    from dream_gnn_tpu.train.loop import fold_inputs
+    from dream_gnn_tpu.train.step import make_train_fns
+
+    init_state, run_steps, _ = make_train_fns(model_cfg, cfg)
+    train_inputs, _, train_labels, _ = fold_inputs(dataset, 0)
+    params = init_params(jax.random.key(0), model_cfg)
+    state = init_state(params, jax.random.key(1))
+
+    t0 = time.perf_counter()
+    state, losses = run_steps(state, train_inputs, train_labels, steps)
+    jax.block_until_ready(losses)
+    log(f"tpu compile+first chunk: {time.perf_counter() - t0:.1f}s, "
+        f"loss={float(losses[-1]):.4f}")
+
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        state, losses = run_steps(state, train_inputs, train_labels, steps)
+        jax.block_until_ready(losses)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    log(f"tpu: {steps} steps in {best:.3f}s "
+        f"({best / steps * 1e3:.2f} ms/step), times={times}")
+    return steps / best
+
+
+class TorchRefStep:
+    """Eager PyTorch-CPU training step with identical math (dense
+    formulation of the reference model; baseline stand-in)."""
+
+    def __init__(self, dataset, model_cfg, cfg):
+        import torch as th
+
+        self.th = th
+        th.manual_seed(0)
+        f = dataset.fold(0)
+        self.a1 = th.tensor(np.asarray(f.train_enc.a1))
+        self.mask = th.tensor(np.asarray(f.train_enc.mask))
+        self.ci_drug = th.tensor(np.asarray(f.train_enc.ci_drug))
+        self.ci_dis = th.tensor(np.asarray(f.train_enc.ci_dis))
+        self.src = th.tensor(np.asarray(f.train_src), dtype=th.long)
+        self.dst = th.tensor(np.asarray(f.train_dst), dtype=th.long)
+        self.labels = th.tensor(np.asarray(f.train_labels))
+        self.drug_feat0 = th.tensor(np.asarray(dataset.drug_feat))
+        self.dis_feat0 = th.tensor(np.asarray(dataset.dis_feat))
+        self.drug_sim = th.tensor(np.asarray(dataset.drug_sim_feat))
+        self.dis_sim = th.tensor(np.asarray(dataset.dis_sim_feat))
+        self.adjs = [th.tensor(np.asarray(g.a)) for g in (
+            dataset.drug_graph, dataset.dis_graph,
+            dataset.drug_feature_graph, dataset.dis_feature_graph)]
+        self.cfg = model_cfg
+
+        ps = []
+
+        def lin(i, o):
+            w = th.randn(i, o, requires_grad=True)
+            b = th.zeros(o, requires_grad=True)
+            ps.extend([w, b])
+            return w, b
+
+        m = model_cfg
+        self.layers = []
+        for li in range(m.layers):
+            att = th.randn(2, m.basis_units, requires_grad=True)
+            basis = th.randn(m.basis_units, m.layer_in_units(li),
+                             m.effective_msg_units(li), requires_grad=True)
+            fc = lin(m.effective_msg_units(li), m.gcn_out_units)
+            ps.extend([att, basis])
+            self.layers.append((att, basis, fc))
+        self.g1d = lin(m.fdim_drug, m.nhid1)
+        self.g2d = lin(m.nhid1, m.nhid2)
+        self.g1v = lin(m.fdim_disease, m.nhid1)
+        self.g2v = lin(m.nhid1, m.nhid2)
+        self.fused = lin(2 * m.nhid2, m.nhid2)
+        self.fusev = lin(2 * m.nhid2, m.nhid2)
+        self.att1 = lin(m.gcn_out_units, 16)
+        self.att2 = lin(16, 1)
+        self.dec1 = lin(2 * m.gcn_out_units, 128)
+        self.dec2 = lin(128, 64)
+        self.dec3 = lin(64, 1)
+        self.opt = th.optim.Adam(ps, lr=cfg.train_lr,
+                                 weight_decay=cfg.weight_decay)
+        self.params = ps
+
+    def step(self):
+        th = self.th
+        m = self.cfg
+        leaky = th.nn.functional.leaky_relu
+        a0 = self.mask - self.a1
+        drug_feat, dis_feat = self.drug_feat0, self.dis_feat0
+        drug_out = dis_out = None
+        for li, (att, basis, (fcw, fcb)) in enumerate(self.layers):
+            w = (att @ basis.reshape(m.basis_units, -1)).reshape(
+                2, basis.shape[1], basis.shape[2])
+            msg_dis = msg_drug = 0.0
+            for r, a in enumerate((a0, self.a1)):
+                msg_dis = msg_dis + a.T @ ((drug_feat @ w[r]) * self.ci_drug)
+                msg_drug = msg_drug + a @ ((dis_feat @ w[r]) * self.ci_dis)
+            drug_h = leaky(msg_drug * self.ci_drug, 0.1) @ fcw + fcb
+            dis_h = leaky(msg_dis * self.ci_dis, 0.1) @ fcw + fcb
+            if li == 0:
+                drug_out, dis_out = drug_h, dis_h
+            else:
+                drug_out = drug_out + drug_h / (li + 1)
+                dis_out = dis_out + dis_h / (li + 1)
+            drug_feat, dis_feat = drug_h, dis_h
+
+        def gcn(x, adj, l1, l2):
+            h = th.relu(adj @ (x @ l1[0]) + l1[1])
+            return adj @ (h @ l2[0]) + l2[1]
+
+        e1s = gcn(self.drug_sim, self.adjs[0], self.g1d, self.g2d)
+        e1f = gcn(self.drug_sim, self.adjs[2], self.g1d, self.g2d)
+        e2s = gcn(self.dis_sim, self.adjs[1], self.g1v, self.g2v)
+        e2f = gcn(self.dis_sim, self.adjs[3], self.g1v, self.g2v)
+        drug_sim_out = th.relu(th.cat([e1s, e1f], 1) @ self.fused[0]
+                               + self.fused[1])
+        dis_sim_out = th.relu(th.cat([e2s, e2f], 1) @ self.fusev[0]
+                              + self.fusev[1])
+
+        def fuse(z):
+            w = th.tanh(z @ self.att1[0] + self.att1[1]) @ self.att2[0]
+            beta = th.softmax(w, dim=1)
+            return (beta * z).sum(1)
+
+        drug_feats = fuse(th.stack([drug_out, drug_sim_out], 1))
+        dis_feats = fuse(th.stack([dis_out, dis_sim_out], 1))
+
+        d = drug_feats.shape[1]
+        h = th.relu(drug_feats[self.src] @ self.dec1[0][:d]
+                    + dis_feats[self.dst] @ self.dec1[0][d:] + self.dec1[1])
+        h = th.relu(h @ self.dec2[0] + self.dec2[1])
+        pred = (h @ self.dec3[0] + self.dec3[1])[:, 0]
+
+        def common(e1, e2):
+            e1 = e1 - e1.mean(0, keepdim=True)
+            e2 = e2 - e2.mean(0, keepdim=True)
+            e1 = th.nn.functional.normalize(e1, p=2, dim=1)
+            e2 = th.nn.functional.normalize(e2, p=2, dim=1)
+            return ((e1 @ e1.T - e2 @ e2.T) ** 2).mean()
+
+        loss = th.nn.functional.binary_cross_entropy_with_logits(
+            pred, self.labels) + 1e-3 * (common(drug_out, drug_sim_out)
+                                         + common(dis_out, dis_sim_out))
+        self.opt.zero_grad()
+        loss.backward()
+        th.nn.utils.clip_grad_norm_(self.params, 1.0)
+        self.opt.step()
+        return float(loss.detach())
+
+
+def bench_torch_cpu(dataset, cfg, model_cfg, steps=5):
+    ref = TorchRefStep(dataset, model_cfg, cfg)
+    ref.step()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        ref.step()
+    elapsed = time.perf_counter() - t0
+    log(f"torch-cpu: {steps} steps in {elapsed:.3f}s "
+        f"({elapsed / steps * 1e3:.1f} ms/step)")
+    return steps / elapsed
+
+
+def main():
+    quick = "--quick" in sys.argv
+    from dream_gnn_tpu.config import TrainConfig
+    from dream_gnn_tpu.data.loader import DreamDataset
+    from dream_gnn_tpu.train.loop import derive_model_cfg
+
+    cfg = TrainConfig(data_name="lrssl")
+    dataset = DreamDataset.load("lrssl", k=cfg.num_neighbor)
+    model_cfg = derive_model_cfg(cfg, dataset)
+    eps = edges_per_step(dataset, model_cfg)
+    log(f"lrssl-scale: {dataset.n_drug}x{dataset.n_dis}, "
+        f"edges/step={eps:.3e}")
+
+    tpu_steps_per_s = bench_tpu(dataset, cfg, model_cfg,
+                                steps=20 if quick else 100,
+                                repeats=2 if quick else 3)
+    torch_steps_per_s = bench_torch_cpu(dataset, cfg, model_cfg,
+                                        steps=3 if quick else 5)
+
+    tpu_eps = tpu_steps_per_s * eps
+    ref_eps = torch_steps_per_s * eps
+    print(json.dumps({
+        "metric": "train_step_edges_per_s_per_chip_lrssl",
+        "value": round(tpu_eps, 1),
+        "unit": "edges/s",
+        "vs_baseline": round(tpu_eps / ref_eps, 2),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -26,7 +26,9 @@ def make_mesh(dp: Optional[int] = None, mp: int = 1,
     n = len(devices)
     if dp is None:
         dp = n // mp
-    assert dp * mp == n, f"mesh {dp}x{mp} != {n} devices"
+    need = dp * mp
+    if need > n:
+        raise ValueError(f"mesh {dp}x{mp} needs {need} devices, have {n}")
     import numpy as np
 
-    return Mesh(np.asarray(devices).reshape(dp, mp), ("dp", "mp"))
+    return Mesh(np.asarray(devices[:need]).reshape(dp, mp), ("dp", "mp"))

@@ -1,0 +1,101 @@
+"""Mesh partitioning of the fold-stacked training step.
+
+Sharding layout (see sharding/mesh.py for the axes):
+
+- every leaf's leading fold axis -> ``dp`` (independent folds train in
+  parallel; the reference runs them sequentially, train.py:500);
+- the disease-node dimension of the bipartite masks, disease-side node
+  arrays, and the decoder edge dimension -> ``mp``.  Drug-side arrays
+  stay replicated within a fold group; XLA inserts the all-gather /
+  psum collectives for cross-shard contractions over ICI.
+
+This is the GNN analogue of TP/SP: the node/edge dimension plays the
+sequence role (SURVEY.md §5, long-context entry).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dream_gnn_tpu.config import ModelConfig, TrainConfig
+from dream_gnn_tpu.graph.bipartite import BipartiteGraph
+from dream_gnn_tpu.graph.knn import NormAdj
+from dream_gnn_tpu.model.dream_gnn import ModelInputs, init_params
+from dream_gnn_tpu.sharding.foldstack import StackedFolds
+from dream_gnn_tpu.train.optim import make_optimizer
+from dream_gnn_tpu.train.step import TrainState, make_one_step
+
+
+def stacked_input_sharding(mesh: Mesh) -> ModelInputs:
+    """NamedSharding pytree matching a fold-stacked ModelInputs."""
+    def ns(*spec):
+        return NamedSharding(mesh, P(*spec))
+
+    drug_side = ns("dp", None, None)     # replicated inside a fold group
+    dis_side = ns("dp", "mp", None)      # disease/node dim sharded
+    enc = BipartiteGraph(
+        a1=ns("dp", None, "mp"), mask=ns("dp", None, "mp"),
+        ci_drug=drug_side, cj_drug=drug_side,
+        ci_dis=dis_side, cj_dis=dis_side)
+    return ModelInputs(
+        enc_graph=enc,
+        dec_src=ns("dp", "mp"), dec_dst=ns("dp", "mp"),
+        drug_graph=NormAdj(a=drug_side),
+        drug_sim_feat=drug_side, drug_feat=drug_side,
+        dis_graph=NormAdj(a=dis_side),
+        dis_sim_feat=dis_side, dis_feat=dis_side,
+        drug_feature_graph=NormAdj(a=drug_side),
+        dis_feature_graph=NormAdj(a=dis_side))
+
+
+def shard_stacked(mesh: Mesh, stacked: StackedFolds) -> StackedFolds:
+    """Commit the stacked fold arrays to their mesh shardings."""
+    edges = NamedSharding(mesh, P("dp", "mp"))
+    return StackedFolds(
+        inputs=jax.device_put(stacked.inputs, stacked_input_sharding(mesh)),
+        labels=jax.device_put(stacked.labels, edges),
+        edge_weight=jax.device_put(stacked.edge_weight, edges))
+
+
+def shard_state(mesh: Mesh, state: TrainState) -> TrainState:
+    """Leading fold axis of every state leaf -> dp; rest replicated."""
+    def _shard(leaf):
+        spec = P(*(("dp",) + (None,) * (jnp.ndim(leaf) - 1)))
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree.map(_shard, state)
+
+
+def make_multichip_train_step(mesh: Mesh, model_cfg: ModelConfig,
+                              train_cfg: TrainConfig):
+    """Returns (init_stacked_state, step).
+
+    ``init_stacked_state(key, n_folds)`` builds per-fold params/opt
+    state (folds are independent runs) sharded over the mesh;
+    ``step(state, stacked)`` advances every fold by one iteration.
+    """
+    tx = make_optimizer(train_cfg.train_grad_clip, train_cfg.weight_decay)
+    one_step = make_one_step(model_cfg, train_cfg, tx)
+
+    def init_stacked_state(key, n_folds: int) -> TrainState:
+        p_keys, s_keys = jax.random.split(key)
+        params = jax.vmap(lambda k: init_params(k, model_cfg))(
+            jax.random.split(p_keys, n_folds))
+        state = TrainState(
+            params=params,
+            opt_state=jax.vmap(tx.init)(params),
+            key=jax.random.split(s_keys, n_folds),
+            lr=jnp.full((n_folds,), train_cfg.train_lr, jnp.float32))
+        return shard_state(mesh, state)
+
+    @jax.jit
+    def step(state: TrainState, stacked: StackedFolds):
+        new_state, losses = jax.vmap(one_step)(
+            state, stacked.inputs, stacked.labels, stacked.edge_weight)
+        return new_state, losses
+
+    return init_stacked_state, step

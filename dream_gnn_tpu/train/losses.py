@@ -7,16 +7,21 @@ import jax.numpy as jnp
 
 
 def bce_with_logits(logits: jnp.ndarray, targets: jnp.ndarray,
-                    smoothing: float = 0.0) -> jnp.ndarray:
+                    smoothing: float = 0.0, weight=None) -> jnp.ndarray:
     """Mean BCE-with-logits; optional label smoothing
-    (``LabelSmoothingBCELoss``: 1 -> 1-s/2... precisely
-    ``t*(1-s) + s/2``, train.py:20-23)."""
+    (``LabelSmoothingBCELoss``: ``t*(1-s) + s/2``, train.py:20-23).
+
+    ``weight`` enables padded edge lists (fold-stacked training): the
+    mean runs over weight mass instead of element count.
+    """
     if smoothing > 0.0:
         targets = targets * (1.0 - smoothing) + smoothing * 0.5
     # Numerically stable: max(x,0) - x*t + log1p(exp(-|x|))
     loss = (jnp.maximum(logits, 0.0) - logits * targets
             + jnp.log1p(jnp.exp(-jnp.abs(logits))))
-    return jnp.mean(loss)
+    if weight is None:
+        return jnp.mean(loss)
+    return jnp.sum(loss * weight) / jnp.sum(weight)
 
 
 def common_loss(emb1: jnp.ndarray, emb2: jnp.ndarray) -> jnp.ndarray:
@@ -33,8 +38,8 @@ def common_loss(emb1: jnp.ndarray, emb2: jnp.ndarray) -> jnp.ndarray:
 
 
 def total_loss(pred, labels, drug_out, drug_sim_out, dis_out, dis_sim_out, *,
-               beta: float, smoothing: float = 0.0):
+               beta: float, smoothing: float = 0.0, weight=None):
     """BCE + beta * (common_drug + common_dis) (train.py:289-294)."""
-    rel = bce_with_logits(pred, labels, smoothing)
+    rel = bce_with_logits(pred, labels, smoothing, weight)
     com = common_loss(drug_out, drug_sim_out) + common_loss(dis_out, dis_sim_out)
     return rel + beta * com, rel

@@ -36,6 +36,44 @@ class TrainState:
     lr: jax.Array          # scalar; host plateau scheduler rewrites it
 
 
+def make_one_step(model_cfg: ModelConfig, train_cfg: TrainConfig, tx):
+    """Pure single-iteration step (augment -> fwd -> grads -> Adam).
+
+    Shared by the single-fold scan loop below and the fold-vmapped
+    multi-chip path (sharding/partition.py).  ``edge_weight`` masks
+    padded decoder edges when folds are stacked to a common budget.
+    """
+    augment = train_cfg.augment
+
+    def loss_fn(params, inputs: ModelInputs, labels, key, edge_masks,
+                edge_weight):
+        pred, drug_out, drug_sim_out, dis_out, dis_sim_out = forward(
+            params, inputs, model_cfg, train=True, key=key,
+            edge_masks=edge_masks)
+        loss, rel = total_loss(
+            pred, labels, drug_out, drug_sim_out, dis_out, dis_sim_out,
+            beta=train_cfg.beta, smoothing=train_cfg.label_smoothing,
+            weight=edge_weight)
+        return loss, rel
+
+    def one_step(state: TrainState, inputs: ModelInputs, labels,
+                 edge_weight=None):
+        key, k_aug, k_fwd = jax.random.split(state.key, 3)
+        aug_inputs, edge_masks = augment_inputs(
+            k_aug, inputs, augment, num_ratings=model_cfg.num_ratings)
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, aug_inputs, labels, k_fwd, edge_masks,
+            edge_weight)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(
+            state.params,
+            jax.tree.map(lambda u: -state.lr * u, updates))
+        return TrainState(params=params, opt_state=opt_state, key=key,
+                          lr=state.lr), loss
+
+    return one_step
+
+
 def make_train_fns(model_cfg: ModelConfig, train_cfg: TrainConfig):
     """Build (init_state, run_steps, evaluate) for one dataset shape.
 
@@ -44,7 +82,6 @@ def make_train_fns(model_cfg: ModelConfig, train_cfg: TrainConfig):
     seed of a dataset.
     """
     tx = make_optimizer(train_cfg.train_grad_clip, train_cfg.weight_decay)
-    augment = train_cfg.augment
 
     def init_state(params, key, lr=None):
         return TrainState(
@@ -54,27 +91,7 @@ def make_train_fns(model_cfg: ModelConfig, train_cfg: TrainConfig):
             lr=jnp.asarray(lr if lr is not None else train_cfg.train_lr,
                            jnp.float32))
 
-    def loss_fn(params, inputs: ModelInputs, labels, key, edge_masks):
-        pred, drug_out, drug_sim_out, dis_out, dis_sim_out = forward(
-            params, inputs, model_cfg, train=True, key=key,
-            edge_masks=edge_masks)
-        loss, rel = total_loss(
-            pred, labels, drug_out, drug_sim_out, dis_out, dis_sim_out,
-            beta=train_cfg.beta, smoothing=train_cfg.label_smoothing)
-        return loss, rel
-
-    def one_step(state: TrainState, inputs: ModelInputs, labels):
-        key, k_aug, k_fwd = jax.random.split(state.key, 3)
-        aug_inputs, edge_masks = augment_inputs(
-            k_aug, inputs, augment, num_ratings=model_cfg.num_ratings)
-        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, aug_inputs, labels, k_fwd, edge_masks)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(
-            state.params,
-            jax.tree.map(lambda u: -state.lr * u, updates))
-        return TrainState(params=params, opt_state=opt_state, key=key,
-                          lr=state.lr), loss
+    one_step = make_one_step(model_cfg, train_cfg, tx)
 
     @partial(jax.jit, static_argnames=("n_steps",), donate_argnums=(0,))
     def run_steps(state: TrainState, inputs: ModelInputs, labels,
