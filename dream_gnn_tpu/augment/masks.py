@@ -46,13 +46,38 @@ def edge_dropout_masks(key, n_drug: int, n_dis: int, num_ratings: int,
     }
 
 
-def sparse_edge_dropout(key, adj: NormAdj, rate: float) -> NormAdj:
-    """Drop entries of a (dense-layout) similarity adjacency.
+def edge_dropout_masks_coo(key, graph, rate: float) -> Dict[str, jnp.ndarray]:
+    """Per-edge keep masks for a padded-COO bipartite graph
+    (graph/bipartite_coo.py): shape (R, E_pad) per direction."""
+    keep = 1.0 - rate
+    keys = jax.random.split(key, 2 * graph.num_ratings)
+    # Per-rating pad budgets differ, so masks are per-relation tuples.
+    return {
+        "fwd": tuple(
+            jax.random.bernoulli(keys[2 * r], keep,
+                                 (graph.fwd[r].e_pad,)).astype(jnp.float32)
+            for r in range(graph.num_ratings)),
+        "rev": tuple(
+            jax.random.bernoulli(keys[2 * r + 1], keep,
+                                 (graph.rev[r].e_pad,)).astype(jnp.float32)
+            for r in range(graph.num_ratings)),
+    }
+
+
+def sparse_edge_dropout(key, adj, rate: float):
+    """Drop entries of a similarity adjacency (any layout).
 
     Kept entries retain their original (now stale) row-normalised
     values, matching ``random_edge_dropout_sparse``
     (augmentation.py:92-124).
     """
+    import dataclasses as _dc
+
+    from dream_gnn_tpu.graph.coo import CooGraph
+
+    if isinstance(adj, CooGraph):
+        keep = jax.random.bernoulli(key, 1.0 - rate, adj.val.shape)
+        return _dc.replace(adj, val=adj.val * keep)
     keep = jax.random.bernoulli(key, 1.0 - rate, adj.a.shape)
     return NormAdj(a=adj.a * keep)
 
@@ -103,11 +128,19 @@ def augment_inputs(key, inputs, cfg: AugmentConfig, num_ratings: int = 2):
     edge_masks = None
     ki = iter(range(24))
 
+    from dream_gnn_tpu.graph.bipartite import BipartiteGraph
+
     for method in cfg.methods:
         if method == "edge_dropout":
-            edge_masks = edge_dropout_masks(
-                keys[next(ki)], inputs.enc_graph.n_drug,
-                inputs.enc_graph.n_dis, num_ratings, cfg.edge_dropout_rate)
+            if isinstance(inputs.enc_graph, BipartiteGraph):
+                edge_masks = edge_dropout_masks(
+                    keys[next(ki)], inputs.enc_graph.n_drug,
+                    inputs.enc_graph.n_dis, num_ratings,
+                    cfg.edge_dropout_rate)
+            else:
+                edge_masks = edge_dropout_masks_coo(
+                    keys[next(ki)], inputs.enc_graph,
+                    cfg.edge_dropout_rate)
             for field in ("drug_graph", "dis_graph",
                           "drug_feature_graph", "dis_feature_graph"):
                 g = upd.get(field, getattr(inputs, field))

@@ -33,6 +33,9 @@ import jax
 import jax.numpy as jnp
 
 from dream_gnn_tpu.graph.bipartite import BipartiteGraph
+from dream_gnn_tpu.graph.bipartite_coo import BipartiteCoo
+from dream_gnn_tpu.graph.coo import CooGraph
+from dream_gnn_tpu.kernels.spmm import spmm_coo
 from dream_gnn_tpu.nn import init as init_lib
 from dream_gnn_tpu.nn.dropout import dropout
 from dream_gnn_tpu.utils.activations import get_activation
@@ -98,12 +101,12 @@ def gcmc_layer_apply(params, graph: BipartiteGraph,
 
     w_fwd, w_rev = _relation_weights(params, num_ratings, share_param)
 
-    adjs = [graph.a0(), graph.a1]  # rating order matches rating_vals [0, 1]
+    dense = isinstance(graph, BipartiteGraph)
+    if dense:
+        adjs = [graph.a0(), graph.a1]  # rating order = rating_vals [0, 1]
     msg_dis = 0.0
     msg_drug = 0.0
     for r in range(num_ratings):
-        a_f = adjs[r] if edge_masks is None else adjs[r] * edge_masks["fwd"][r]
-        a_r = adjs[r] if edge_masks is None else adjs[r] * edge_masks["rev"][r]
         # drug -> disease (etype str(r)): node-dropout on the src norm cj
         # (layers.py:224-225), fresh mask per (rating, direction).
         cj_d = graph.cj_drug
@@ -112,12 +115,27 @@ def gcmc_layer_apply(params, graph: BipartiteGraph,
             cj_d = dropout(keys[2 * r], cj_d, dropout_rate, train)
             cj_v = dropout(keys[2 * r + 1], cj_v, dropout_rate, train)
         hd = jnp.dot(drug_feat, w_fwd[r], preferred_element_type=jnp.float32)
-        msg_dis = msg_dis + jnp.dot(a_f.T, hd * cj_d,
-                                    preferred_element_type=jnp.float32)
-        # disease -> drug (etype rev-r) reuses W[r] (layers.py:126-127)
         hv = jnp.dot(dis_feat, w_rev[r], preferred_element_type=jnp.float32)
-        msg_drug = msg_drug + jnp.dot(a_r, hv * cj_v,
-                                      preferred_element_type=jnp.float32)
+        if dense:
+            a_f = adjs[r] if edge_masks is None \
+                else adjs[r] * edge_masks["fwd"][r]
+            a_r = adjs[r] if edge_masks is None \
+                else adjs[r] * edge_masks["rev"][r]
+            msg_dis = msg_dis + jnp.dot(a_f.T, hd * cj_d,
+                                        preferred_element_type=jnp.float32)
+            # disease -> drug (etype rev-r) reuses W[r] (layers.py:126-127)
+            msg_drug = msg_drug + jnp.dot(a_r, hv * cj_v,
+                                          preferred_element_type=jnp.float32)
+        else:
+            # Sparse layout: edge dropout masks are per padded edge.
+            g_f: CooGraph = graph.fwd[r]
+            g_r: CooGraph = graph.rev[r]
+            if edge_masks is not None:
+                import dataclasses as _dc
+                g_f = _dc.replace(g_f, val=g_f.val * edge_masks["fwd"][r])
+                g_r = _dc.replace(g_r, val=g_r.val * edge_masks["rev"][r])
+            msg_dis = msg_dis + spmm_coo(g_f, hd * cj_d)
+            msg_drug = msg_drug + spmm_coo(g_r, hv * cj_v)
 
     drug_h = act(msg_drug * graph.ci_drug)
     dis_h = act(msg_dis * graph.ci_dis)

@@ -41,5 +41,7 @@ def total_loss(pred, labels, drug_out, drug_sim_out, dis_out, dis_sim_out, *,
                beta: float, smoothing: float = 0.0, weight=None):
     """BCE + beta * (common_drug + common_dis) (train.py:289-294)."""
     rel = bce_with_logits(pred, labels, smoothing, weight)
+    if beta == 0.0:        # static: compile out the N x N grams entirely
+        return rel, rel
     com = common_loss(drug_out, drug_sim_out) + common_loss(dis_out, dis_sim_out)
     return rel + beta * com, rel
