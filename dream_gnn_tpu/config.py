@@ -50,6 +50,15 @@ class ModelConfig:
     # Regularisation
     dropout: float = 0.3
 
+    # TPU execution: matmul operand dtype ('float32' | 'bfloat16').
+    # Params, accumulation, and outputs stay float32 either way.
+    compute_dtype: str = "float32"
+
+    # Per-edge decoder backend: 'xla' (portable, vmap-safe) or 'pallas'
+    # (fused VMEM kernel, kernels/pallas_decoder.py — TPU, unbatched,
+    # node tables up to MAX_ONEHOT_NODES).
+    decoder_backend: str = "xla"
+
     def effective_msg_units(self, layer_idx: int) -> int:
         """Message dim of GCMC layer ``layer_idx``.
 
@@ -126,3 +135,8 @@ class TrainConfig:
     dtype: str = "float32"              # compute dtype for matmuls
     spmm_backend: str = "auto"          # 'dense' | 'coo' | 'pallas' | 'auto'
     donate_state: bool = True
+    # PRNG implementation for training keys: 'rbg' uses the TPU's
+    # hardware-friendly generator (threefry dropout masks cost ~5ms/step
+    # at lrssl scale; rbg makes them ~free). 'threefry2x32' for the
+    # portable default.
+    rng_impl: str = "rbg"

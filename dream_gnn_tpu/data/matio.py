@@ -27,7 +27,13 @@ def load_mat(path: str, *, embed_dim: int = 768, seed: int = 0) -> RawData:
     dis_embed = (np.asarray(data["disease_embed"], np.float32)
                  if "disease_embed" in data
                  else rng.normal(0, 0.1, (n_dis, embed_dim)).astype(np.float32))
-    drug_ids = ([str(x[0][0]).strip() for x in data["Wrname"]]
+    def _unwrap(x):
+        # Wrname cells load with varying nesting depth; dig to the str.
+        while isinstance(x, np.ndarray):
+            x = x[0]
+        return str(x).strip()
+
+    drug_ids = ([_unwrap(x) for x in np.asarray(data["Wrname"]).reshape(-1)]
                 if "Wrname" in data else None)
 
     return RawData(
@@ -47,6 +53,6 @@ def save_mat(path: str, raw: RawData) -> None:
         "disease": raw.dis_sim,
         "drug_embed": raw.drug_embed,
         "disease_embed": raw.dis_embed,
-        "Wrname": np.array([[np.array([s])] for s in (raw.drug_ids or [])],
+        "Wrname": np.array([[s] for s in (raw.drug_ids or [])],
                            dtype=object),
     })

@@ -118,7 +118,17 @@ def forward(params, inputs: ModelInputs, cfg: ModelConfig, *,
         dropout_rate=cfg.attention_dropout, train=train,
         key=keys[cfg.layers + 2])
 
-    pred = decoder_apply(params["decoder"], inputs.dec_src, inputs.dec_dst,
-                         drug_feats, dis_feats, dropout_rate=cfg.dropout,
-                         train=train, key=keys[cfg.layers + 3])
+    if cfg.decoder_backend == "pallas":
+        from dream_gnn_tpu.kernels.pallas_decoder import decoder_apply_fused
+        pred = decoder_apply_fused(
+            params["decoder"], inputs.dec_src, inputs.dec_dst,
+            drug_feats, dis_feats, dropout_rate=cfg.dropout,
+            train=train, key=keys[cfg.layers + 3],
+            dtype=jnp.dtype(cfg.compute_dtype))
+    else:
+        pred = decoder_apply(params["decoder"], inputs.dec_src,
+                             inputs.dec_dst, drug_feats, dis_feats,
+                             dropout_rate=cfg.dropout, train=train,
+                             key=keys[cfg.layers + 3],
+                             dtype=jnp.dtype(cfg.compute_dtype))
     return pred, drug_out, drug_sim_out, dis_out, dis_sim_out

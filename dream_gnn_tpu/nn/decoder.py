@@ -38,27 +38,30 @@ def decoder_init(key, *, in_units: int, hidden1: int = 128, hidden2: int = 64):
 def decoder_apply(params, edge_src: jnp.ndarray, edge_dst: jnp.ndarray,
                   drug_feat: jnp.ndarray, dis_feat: jnp.ndarray, *,
                   dropout_rate: float, train: bool = False,
-                  key: Optional[jax.Array] = None) -> jnp.ndarray:
+                  key: Optional[jax.Array] = None,
+                  dtype=jnp.float32) -> jnp.ndarray:
     """Score candidate edges.
 
     Args:
       edge_src: (E,) drug ids; edge_dst: (E,) disease ids — in candidate
         pair order.
+      dtype: matmul operand dtype (bf16 halves the per-edge HBM traffic
+        that dominates the step); accumulation stays float32.
     Returns logits of shape (E,).
     """
     d = drug_feat.shape[1]
-    proj_drug = jnp.dot(drug_feat, params["w1"][:d],
+    proj_drug = jnp.dot(drug_feat.astype(dtype), params["w1"][:d].astype(dtype),
                         preferred_element_type=jnp.float32)
-    proj_dis = jnp.dot(dis_feat, params["w1"][d:],
+    proj_dis = jnp.dot(dis_feat.astype(dtype), params["w1"][d:].astype(dtype),
                        preferred_element_type=jnp.float32)
     h = jax.nn.relu(proj_drug[edge_src] + proj_dis[edge_dst] + params["b1"])
     if train:
         k1, k2 = jax.random.split(key)
         h = dropout(k1, h, dropout_rate, train)
-    h = jax.nn.relu(jnp.dot(h, params["w2"],
+    h = jax.nn.relu(jnp.dot(h.astype(dtype), params["w2"].astype(dtype),
                             preferred_element_type=jnp.float32) + params["b2"])
     if train:
         h = dropout(k2, h, dropout_rate, train)
-    out = jnp.dot(h, params["w3"],
+    out = jnp.dot(h.astype(dtype), params["w3"].astype(dtype),
                   preferred_element_type=jnp.float32) + params["b3"]
     return out[:, 0]

@@ -37,7 +37,7 @@ def run_experiments(dataset: DreamDataset, cfg: TrainConfig, *,
                   f"with seed {seed} ========")
         exp_dir = os.path.join(cfg.save_dir, f"seed_{seed}")
         os.makedirs(exp_dir, exist_ok=True)
-        seed_key = jax.random.key(seed)
+        seed_key = jax.random.key(seed, impl=cfg.rng_impl)
 
         fold_results = []
         for cv in folds:

@@ -25,14 +25,17 @@ def measure(name, cfg, model_cfg, dataset, inputs, labels):
     init_state, run_steps, _ = make_train_fns(model_cfg, cfg)
     params = init_params(jax.random.key(0), model_cfg)
     state = init_state(params, jax.random.key(1))
-    state, _ = run_steps(state, inputs, labels, STEPS)  # compile+warm
-    t0 = time.perf_counter()
-    reps = 3
-    for _ in range(reps):
+    state, losses = run_steps(state, inputs, labels, STEPS)  # compile+warm
+    float(losses[-1])
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
         state, losses = run_steps(state, inputs, labels, STEPS)
-    jax.block_until_ready(losses)
-    ms = (time.perf_counter() - t0) / (reps * STEPS) * 1e3
-    print(f"{name:42s} {ms:7.2f} ms/step", flush=True)
+        last = float(losses[-1])          # force full materialisation
+        times.append(time.perf_counter() - t0)
+    ms = min(times) / STEPS * 1e3
+    print(f"{name:42s} {ms:7.2f} ms/step   last_loss={last:.4f} "
+          f"times={[round(t, 3) for t in times]}", flush=True)
     return ms
 
 
