@@ -217,15 +217,21 @@ def main():
     from dream_gnn_tpu.data.loader import DreamDataset
     from dream_gnn_tpu.train.loop import derive_model_cfg
 
+    import dataclasses
+
     cfg = TrainConfig(data_name="lrssl")
     dataset = DreamDataset.load("lrssl", k=cfg.num_neighbor)
-    model_cfg = derive_model_cfg(cfg, dataset)
+    # Optimised TPU execution config: fused Pallas decoder + bf16
+    # matmul operands (see kernels/pallas_decoder.py and BASELINE.md).
+    model_cfg = dataclasses.replace(derive_model_cfg(cfg, dataset),
+                                    decoder_backend="pallas",
+                                    compute_dtype="bfloat16")
     eps = edges_per_step(dataset, model_cfg)
     log(f"lrssl-scale: {dataset.n_drug}x{dataset.n_dis}, "
         f"edges/step={eps:.3e}")
 
     tpu_steps_per_s = bench_tpu(dataset, cfg, model_cfg,
-                                steps=20 if quick else 100,
+                                steps=20 if quick else 50,
                                 repeats=2 if quick else 3)
     torch_steps_per_s = bench_torch_cpu(dataset, cfg, model_cfg,
                                         steps=3 if quick else 5)

@@ -103,9 +103,19 @@ def train_fold(dataset: DreamDataset, cv: int, cfg: TrainConfig,
     done = 0
     t0 = time.perf_counter()
 
+    from dream_gnn_tpu.utils.profiling import StepTimer
+    edges_per_step = 2.0 * float(
+        np.asarray(train_inputs.enc_graph.mask).sum()
+        * 2.0 * model_cfg.layers) if hasattr(
+        train_inputs.enc_graph, "mask") else 0.0
+    timer = StepTimer(edges_per_step)
+
     while done < total_iters:
         chunk = min(cfg.train_valid_interval, total_iters - done)
+        timer.start()
         state, losses = run_steps(state, train_inputs, train_labels, chunk)
+        jax.block_until_ready(losses)
+        timer.stop(chunk)
         done += chunk
         if done % cfg.train_valid_interval != 0:
             break  # trailing partial chunk: reference never evals there
@@ -153,7 +163,14 @@ def train_fold(dataset: DreamDataset, cv: int, cfg: TrainConfig,
                                      f"best_model_fold{save_id}.npz"),
                         best_params)
 
+    if verbose and timer.ms_per_step is not None:
+        eps = timer.edges_per_s
+        print(f"Fold timing: {timer.ms_per_step:.2f} ms/step"
+              + (f", {eps:.3e} edges/s" if eps else ""))
+
     return dict(best_auroc=best["auroc"], best_aupr=best["aupr"],
                 best_iter=best["iter"], elapsed_s=elapsed,
                 final_state=state, best_params=best_params,
-                train_fns=train_fns, model_cfg=model_cfg)
+                train_fns=train_fns, model_cfg=model_cfg,
+                ms_per_step=timer.ms_per_step,
+                edges_per_s=timer.edges_per_s)
