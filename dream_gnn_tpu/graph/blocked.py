@@ -25,7 +25,8 @@ from dream_gnn_tpu.graph.coo import CooGraph
 
 TILE_SRC = 512
 TILE_DST = 512
-EDGE_CHUNK = 512
+EDGE_CHUNK = 2048     # edges per grid step; large to amortise per-chunk
+#                       grid overhead
 
 
 @jax.tree_util.register_dataclass
@@ -56,11 +57,34 @@ class BlockedCoo:
         return -(-self.n_dst // TILE_DST) * TILE_DST
 
 
-def blocked_from_coo(g: CooGraph) -> BlockedCoo:
-    """Build the blocked layout from a (dst-sorted, padded) CooGraph."""
-    src = np.asarray(g.src)
-    dst = np.asarray(g.dst)
-    val = np.asarray(g.val)
+def blocked_from_arrays(src: np.ndarray, dst: np.ndarray, val: np.ndarray,
+                        n_src: int, n_dst: int,
+                        use_native: bool = True) -> BlockedCoo:
+    """Build the blocked layout from host numpy edge arrays.
+
+    Prefer this over ``blocked_from_coo`` when the edges are already on
+    host: pulling device arrays back through a relayed TPU is slow.
+    Uses the C++ builder (native/blocked_builder.cc, ~20x faster at
+    10M edges) when available; the NumPy path below is the reference
+    implementation and fallback.
+    """
+    if use_native:
+        from dream_gnn_tpu.graph import native
+
+        out = native.build_blocked_native(src, dst, val, n_src, n_dst,
+                                          TILE_SRC, TILE_DST, EDGE_CHUNK)
+        if out is not None:
+            c_src, c_dst, c_val, c_st, c_dt, c_first = out
+            return BlockedCoo(
+                src_local=jnp.asarray(c_src), dst_local=jnp.asarray(c_dst),
+                val=jnp.asarray(c_val), src_tile=jnp.asarray(c_st),
+                dst_tile=jnp.asarray(c_dt),
+                first_of_dst=jnp.asarray(c_first),
+                n_src=n_src, n_dst=n_dst)
+
+    src = np.asarray(src)
+    dst = np.asarray(dst)
+    val = np.asarray(val, np.float32)
     live = val != 0
     src, dst, val = src[live], dst[live], val[live]
 
@@ -87,7 +111,7 @@ def blocked_from_coo(g: CooGraph) -> BlockedCoo:
     # Every dst tile needs at least one chunk: the kernel zeroes an
     # output block on its first visit, and unvisited pallas output
     # blocks are uninitialised memory.
-    n_dst_tiles = -(-g.n_dst // TILE_DST)
+    n_dst_tiles = -(-n_dst // TILE_DST)
     present = set(int(t) for t in dt[starts]) if n_real else set()
     missing = sorted(set(range(n_dst_tiles)) - present)
 
@@ -97,16 +121,17 @@ def blocked_from_coo(g: CooGraph) -> BlockedCoo:
     c_val = np.zeros((c, EDGE_CHUNK), np.float32)
     c_st = np.zeros((c,), np.int32)
     c_dt = np.zeros((c,), np.int32)
-    for i in range(n_real):
-        a, b = starts[i], ends[i]
-        n = b - a
-        c_src[i, :n] = src[a:b] % TILE_SRC
-        c_dst[i, :n] = dst[a:b] % TILE_DST
-        c_val[i, :n] = val[a:b]
-        c_st[i] = st[a]
-        c_dt[i] = dt[a]
-    for j, tile in enumerate(missing):
-        c_dt[n_real + j] = tile
+    if n_real:
+        e_idx = np.arange(len(src))
+        chunk_of = np.searchsorted(starts, e_idx, side="right") - 1
+        pos = e_idx - starts[chunk_of]
+        flat = chunk_of * EDGE_CHUNK + pos
+        c_src.reshape(-1)[flat] = src % TILE_SRC
+        c_dst.reshape(-1)[flat] = dst % TILE_DST
+        c_val.reshape(-1)[flat] = val
+        c_st[:n_real] = st[starts]
+        c_dt[:n_real] = dt[starts]
+    c_dt[n_real:n_real + len(missing)] = np.asarray(missing, np.int32)
 
     order = np.lexsort((c_st, c_dt))
     c_src, c_dst, c_val = c_src[order], c_dst[order], c_val[order]
@@ -117,7 +142,13 @@ def blocked_from_coo(g: CooGraph) -> BlockedCoo:
         src_local=jnp.asarray(c_src), dst_local=jnp.asarray(c_dst),
         val=jnp.asarray(c_val), src_tile=jnp.asarray(c_st),
         dst_tile=jnp.asarray(c_dt), first_of_dst=jnp.asarray(first),
-        n_src=g.n_src, n_dst=g.n_dst)
+        n_src=n_src, n_dst=n_dst)
+
+
+def blocked_from_coo(g: CooGraph) -> BlockedCoo:
+    """Build from a device CooGraph (single host pull of the arrays)."""
+    return blocked_from_arrays(np.asarray(g.src), np.asarray(g.dst),
+                               np.asarray(g.val), g.n_src, g.n_dst)
 
 
 @jax.tree_util.register_dataclass
@@ -130,7 +161,13 @@ class BlockedCooPair:
     bwd: BlockedCoo
 
 
+def blocked_pair_from_arrays(src, dst, val, n_src: int,
+                             n_dst: int) -> BlockedCooPair:
+    return BlockedCooPair(
+        fwd=blocked_from_arrays(src, dst, val, n_src, n_dst),
+        bwd=blocked_from_arrays(dst, src, val, n_dst, n_src))
+
+
 def blocked_pair_from_coo(g: CooGraph) -> BlockedCooPair:
-    gt = CooGraph(src=g.dst, dst=g.src, val=g.val,
-                  n_src=g.n_dst, n_dst=g.n_src)
-    return BlockedCooPair(fwd=blocked_from_coo(g), bwd=blocked_from_coo(gt))
+    return blocked_pair_from_arrays(np.asarray(g.src), np.asarray(g.dst),
+                                    np.asarray(g.val), g.n_src, g.n_dst)

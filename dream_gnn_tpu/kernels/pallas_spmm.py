@@ -4,20 +4,34 @@
 layout (graph/blocked.py).  Per grid step (one edge chunk):
 
     x_tile   <- pipelined DMA, selected by the chunk's src_tile id
-    msgs     = onehot(src_local) @ x_tile            # MXU gather
-    out_tile += onehot(dst_local)^T @ (msgs * val)   # MXU scatter
+    P_src    = onehot(src_local) * val               # weighted gather
+    for each 128-edge row r:
+        msgs_r    = P_src[r] @ x_tile                # MXU gather
+        out_tile += P_dst[r]^T @ msgs_r              # MXU scatter
 
-Both the gather and scatter are one-hot matmuls against VMEM tiles, so
-the kernel runs at MXU speed instead of the scatter-serialised
-``segment_sum`` lowering (~30x at the 100k x 100k / 10M-edge scale
-config — see BASELINE.md).  The output block is revisited across the
-chunks of one dst tile (chunks are dst-tile-sorted) and zeroed on the
-first visit.
+Both the gather and the scatter are one-hot matmuls against
+VMEM-resident tiles, so the kernel runs at MXU speed instead of the
+scatter-serialised ``segment_sum`` lowering.  Edge ids are stored as
+(chunk, 16, 128) int32 tiles: TPU HBM tiling pads an (N, 1) int column
+to (N, 128) — a 128x memory blowup at 10M edges — and all index math
+stays 2D/3D (Mosaic has no 1D vector ops).  The output block is
+revisited across the chunks of one dst tile (chunks are
+dst-tile-sorted) and zeroed on the first visit.
+
+Design note — why one-hot and not a true gather: Mosaic's
+``tpu.dynamic_gather`` only shuffles within a single vreg (gather
+tables are capped at 128 lanes / 8 sublanes), so a 512-row tile gather
+is "Not implemented: Multiple source vregs along gather dimension".
+The one-hot matmul costs (TILE_SRC + TILE_DST) * d MACs per edge —
+MXU-cheap for tiles up to ~512 — which makes this kernel strongest on
+small-to-medium or locality-structured graphs; on a uniform-random
+10M-edge graph it roughly matches XLA's segment_sum.  A sub-vreg
+tiled gather variant is the planned next iteration.
 
 Backward: SpMM with the transposed graph (A^T @ g), provided by the
 pre-built transpose layout in BlockedCooPair; edge values are
-non-trainable (they carry degree norms / augmentation masks), so no
-cotangent flows to them.
+non-trainable (degree norms / augmentation masks), so no cotangent
+flows to them.
 
 Replaces: DGL C++ ``update_all(copy_u, sum)`` (layers.py:229-232) and
 torch cuSPARSE ``th.spmm`` (layers.py:312) for graphs too large for
@@ -30,6 +44,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -37,11 +52,14 @@ from dream_gnn_tpu.graph.blocked import (BlockedCoo, BlockedCooPair,
                                          EDGE_CHUNK, TILE_DST, TILE_SRC)
 
 INTERPRET = False
+_LANE = 128
+_ROWS = EDGE_CHUNK // _LANE
 
 
-def _onehot(ids, n, dtype):
-    cols = jax.lax.broadcasted_iota(jnp.int32, (ids.shape[0], n), 1)
-    return (ids[:, None] == cols).astype(dtype)
+def _onehot3(ids, n, dtype):
+    """(R, 128) ids -> (R, 128, n) one-hot."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, ids.shape + (n,), 2)
+    return (ids[:, :, None] == iota).astype(dtype)
 
 
 def _spmm_kernel(src_tile_ref, dst_tile_ref, first_ref,
@@ -52,15 +70,25 @@ def _spmm_kernel(src_tile_ref, dst_tile_ref, first_ref,
     def _zero():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    src = src_ref[:, 0]
-    dst = dst_ref[:, 0]
-    val = val_ref[:, 0]
-    msgs = jnp.dot(_onehot(src, TILE_SRC, dtype), x_ref[:].astype(dtype),
-                   preferred_element_type=jnp.float32)
-    msgs = msgs * val[:, None]
-    out_ref[:] += jnp.dot(_onehot(dst, TILE_DST, dtype).T,
-                          msgs.astype(dtype),
-                          preferred_element_type=jnp.float32)
+    ids_s = src_ref[0]                      # (R, 128) int32
+    ids_d = dst_ref[0]
+    val3 = val_ref[0]                       # (R, 128) f32
+    # Fold the edge weight into the gather one-hot: weighted gather.
+    p_src = _onehot3(ids_s, TILE_SRC, jnp.float32) * val3[:, :, None]
+    p_dst = _onehot3(ids_d, TILE_DST, dtype)
+    x = x_ref[:].astype(dtype)
+    acc = jnp.zeros_like(out_ref)
+    for r in range(_ROWS):
+        msgs = jnp.dot(p_src[r].astype(dtype), x,
+                       preferred_element_type=jnp.float32)
+        acc = acc + jnp.dot(p_dst[r].T, msgs.astype(dtype),
+                            preferred_element_type=jnp.float32)
+    out_ref[:] += acc
+
+
+def _edge_tiles(a: jnp.ndarray) -> jnp.ndarray:
+    """(C, EDGE_CHUNK) -> (C, ROWS, 128)."""
+    return a.reshape(a.shape[0], _ROWS, _LANE)
 
 
 def _spmm_blocked_raw(g: BlockedCoo, x: jnp.ndarray,
@@ -70,15 +98,15 @@ def _spmm_blocked_raw(g: BlockedCoo, x: jnp.ndarray,
     x_pad = x if x.shape[0] == g.n_src_pad else jnp.pad(
         x, ((0, g.n_src_pad - x.shape[0]), (0, 0)))
 
-    edge_col = pl.BlockSpec((EDGE_CHUNK, 1), lambda i, *_: (i, 0),
-                            memory_space=pltpu.VMEM)
+    edge_spec = pl.BlockSpec((1, _ROWS, _LANE), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_spmm_kernel, dtype=dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,       # src_tile, dst_tile, first
             grid=(g.n_chunks,),
             in_specs=[
-                edge_col, edge_col, edge_col,
+                edge_spec, edge_spec, edge_spec,
                 pl.BlockSpec((TILE_SRC, d),
                              lambda i, st, dt, first: (st[i], 0),
                              memory_space=pltpu.VMEM),
@@ -90,8 +118,8 @@ def _spmm_blocked_raw(g: BlockedCoo, x: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((g.n_dst_pad, d), jnp.float32),
         interpret=INTERPRET,
     )(g.src_tile, g.dst_tile, g.first_of_dst,
-      g.src_local.reshape(-1, 1), g.dst_local.reshape(-1, 1),
-      g.val.reshape(-1, 1), x_pad)
+      _edge_tiles(g.src_local), _edge_tiles(g.dst_local),
+      _edge_tiles(g.val), x_pad)
     return out[: g.n_dst]
 
 
@@ -107,8 +135,6 @@ def _spmm_fwd(pair, x, dtype):
 
 
 def _spmm_bwd(dtype, pair, gout):
-    import numpy as np
-
     dx = _spmm_blocked_raw(pair.bwd, gout, dtype)
 
     def _zero_cot(x):

@@ -63,6 +63,19 @@ def build_parser() -> argparse.ArgumentParser:
                    help="override the fixed seed list")
     p.add_argument("--folds", type=int, nargs="+", default=None,
                    help="subset of CV folds to run")
+    # TPU execution knobs (no reference counterpart)
+    p.add_argument("--compute_dtype", type=str, default="bfloat16",
+                   choices=["float32", "bfloat16"],
+                   help="matmul operand dtype (fp32 accumulation)")
+    p.add_argument("--decoder_backend", type=str, default="pallas",
+                   choices=["xla", "pallas"],
+                   help="per-edge decoder: fused Pallas kernel (TPU) "
+                        "or portable XLA lowering")
+    p.add_argument("--rng_impl", type=str, default="rbg",
+                   choices=["rbg", "threefry2x32"],
+                   help="PRNG implementation for training keys")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="write a jax.profiler trace of the first fold")
     return p
 
 
@@ -72,7 +85,9 @@ def config_from_args(args) -> TrainConfig:
         gcn_agg_accum=args.gcn_agg_accum, gcn_out_units=args.gcn_out_units,
         share_param=args.share_param, model_activation=args.model_activation,
         nhid1=args.nhid1, nhid2=args.nhid2, dropout=args.dropout,
-        attention_dropout=args.attention_dropout)
+        attention_dropout=args.attention_dropout,
+        compute_dtype=args.compute_dtype,
+        decoder_backend=args.decoder_backend)
     augment = AugmentConfig(
         methods=tuple(args.aug_methods),
         edge_dropout_rate=args.edge_dropout_rate,
@@ -92,7 +107,8 @@ def config_from_args(args) -> TrainConfig:
         beta=args.beta, label_smoothing=args.label_smoothing,
         save_model=args.save_model,
         generate_top_predictions=args.generate_top_predictions,
-        top_k=args.top_k, model=model, augment=augment)
+        top_k=args.top_k, model=model, augment=augment,
+        rng_impl=args.rng_impl)
     if args.seeds is not None:
         cfg = dataclasses.replace(cfg, seeds=tuple(args.seeds))
     return cfg

@@ -7,7 +7,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dream_gnn_tpu.graph.blocked import blocked_pair_from_coo
+from dream_gnn_tpu.graph.blocked import blocked_pair_from_arrays
 from dream_gnn_tpu.graph.coo import coo_from_arrays
 from dream_gnn_tpu.kernels.pallas_spmm import spmm_blocked
 from dream_gnn_tpu.kernels.spmm import spmm_coo
@@ -21,40 +21,49 @@ rng = np.random.default_rng(0)
 src = rng.integers(0, n_src, n_edges)
 dst = rng.integers(0, n_dst, n_edges)
 val = rng.random(n_edges).astype(np.float32) + 0.5
-g = coo_from_arrays(src, dst, val, n_src, n_dst)
-print("building blocked layout...", flush=True)
+print("building blocked layout (host-side)...", flush=True)
 t0 = time.perf_counter()
-pair = blocked_pair_from_coo(g)
+pair = blocked_pair_from_arrays(src, dst, val, n_src, n_dst)
 print(f"layout build: {time.perf_counter() - t0:.1f}s, "
       f"chunks={pair.fwd.n_chunks}", flush=True)
+g = coo_from_arrays(src, dst, val, n_src, n_dst)
 
 x = jnp.asarray(rng.normal(size=(n_src, d)).astype(np.float32))
 
 
-def timed(name, fn, steps=10):
-    run = jax.jit(lambda x: jax.lax.scan(
-        lambda c, _: (c * 1.000001, jnp.sum(fn(c))), x, length=steps))
-    c, outs = run(x)
+def timed(name, fn, graph_arg, steps=10):
+    """Time scan(steps) of fn(x, graph).  The graph is a jit ARGUMENT:
+    closing over ~1 GB of edge arrays bakes them into the compile
+    payload and stalls the remote compiler."""
+    run = jax.jit(lambda x, gr: jax.lax.scan(
+        lambda c, _: (c * 1.000001, jnp.sum(fn(c, gr))), x, length=steps))
+    c, outs = run(x, graph_arg)
     jax.block_until_ready(outs)
     t0 = time.perf_counter()
-    c, outs = run(x)
+    c, outs = run(x, graph_arg)
     jax.block_until_ready(outs)
     ms = (time.perf_counter() - t0) / steps * 1e3
     print(f"{name:34s} {ms:9.2f} ms  ({n_edges / ms * 1e3:.3e} edges/s)",
           flush=True)
 
 
-# correctness on device
-o1 = spmm_coo(g, x)
-o2 = spmm_blocked(pair, x, jnp.float32)
-err = float(jnp.max(jnp.abs(o1 - o2)) / (1e-6 + jnp.max(jnp.abs(o1))))
-print(f"rel err blocked vs segment_sum: {err:.2e}", flush=True)
+# correctness on device (jitted: eager 10M-edge dispatch through the
+# relay takes minutes)
+@jax.jit
+def _check(x, g, pair):
+    o1 = spmm_coo(g, x)
+    o2 = spmm_blocked(pair, x, jnp.float32)
+    return jnp.max(jnp.abs(o1 - o2)) / (1e-6 + jnp.max(jnp.abs(o1)))
 
-timed("segment_sum fwd", lambda x: spmm_coo(g, x))
-timed("blocked pallas fwd (bf16)", lambda x: spmm_blocked(pair, x))
+print(f"rel err blocked vs segment_sum: {float(_check(x, g, pair)):.2e}",
+      flush=True)
+
+timed("segment_sum fwd", lambda x, gr: spmm_coo(gr, x), g)
+timed("blocked pallas fwd (bf16)", lambda x, gr: spmm_blocked(gr, x), pair)
 timed("blocked pallas fwd (fp32)",
-      lambda x: spmm_blocked(pair, x, jnp.float32))
+      lambda x, gr: spmm_blocked(gr, x, jnp.float32), pair)
 timed("segment_sum fwd+bwd",
-      lambda x: jax.grad(lambda y: jnp.sum(spmm_coo(g, y) ** 2))(x))
+      lambda x, gr: jax.grad(lambda y: jnp.sum(spmm_coo(gr, y) ** 2))(x), g)
 timed("blocked pallas fwd+bwd",
-      lambda x: jax.grad(lambda y: jnp.sum(spmm_blocked(pair, y) ** 2))(x))
+      lambda x, gr: jax.grad(
+          lambda y: jnp.sum(spmm_blocked(gr, y) ** 2))(x), pair)
