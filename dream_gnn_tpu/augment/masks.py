@@ -46,6 +46,31 @@ def edge_dropout_masks(key, n_drug: int, n_dis: int, num_ratings: int,
     }
 
 
+def edge_addition_masks(key, graph, num_ratings: int,
+                        add_rate: float) -> Dict[str, jnp.ndarray]:
+    """Per-etype edge-ADD masks (reference ``add_random_edges``,
+    augmentation.py:127-205: per etype, add ~add_rate * E new random
+    edges, skipping duplicates).
+
+    Dense-mask equivalent: Bernoulli over the whole grid with per-cell
+    probability add_rate * E_r / (n_drug * n_dis); the GCMC layer takes
+    ``A_eff = max(A_r * keep, add)``, so hits on existing edges are
+    no-ops — the duplicate check for free.
+    """
+    n_drug, n_dis = graph.n_drug, graph.n_dis
+    cells = float(n_drug * n_dis)
+    e_per_rating = [jnp.sum(graph.a0()), jnp.sum(graph.a1)]
+    keys = jax.random.split(key, 2 * num_ratings)
+    out = {"fwd_add": [], "rev_add": []}
+    for r in range(num_ratings):
+        p = jnp.clip(add_rate * e_per_rating[r] / cells, 0.0, 1.0)
+        out["fwd_add"].append(jax.random.bernoulli(
+            keys[2 * r], p, (n_drug, n_dis)).astype(jnp.float32))
+        out["rev_add"].append(jax.random.bernoulli(
+            keys[2 * r + 1], p, (n_drug, n_dis)).astype(jnp.float32))
+    return {k: jnp.stack(v) for k, v in out.items()}
+
+
 def edge_dropout_masks_coo(key, graph, rate: float) -> Dict[str, jnp.ndarray]:
     """Per-edge keep masks for a padded-COO bipartite graph
     (graph/bipartite_coo.py): shape (R, E_pad) per direction."""
@@ -172,13 +197,15 @@ def augment_inputs(key, inputs, cfg: AugmentConfig, num_ratings: int = 2):
                 upd[field] = mixup_features(keys[next(ki)], x,
                                             cfg.mixup_alpha)
         elif method == "add_random_edges":
-            # Reference add_random_edges mutates the DGL heterograph with
-            # host-side rejection sampling (augmentation.py:127-205).  The
-            # in-graph equivalent adds Bernoulli(add_rate * density) edges
-            # outside the current fold mask; modelled as negative dropout
-            # on the edge mask — implemented when a config requests it.
-            raise NotImplementedError(
-                "add_random_edges: not part of the default pipeline")
+            if not isinstance(inputs.enc_graph, BipartiteGraph):
+                raise NotImplementedError(
+                    "add_random_edges: dense-mask encoder graphs only")
+            add = edge_addition_masks(keys[next(ki)], inputs.enc_graph,
+                                      num_ratings, cfg.add_edge_rate)
+            edge_masks = dict(edge_masks or
+                              {"fwd": jnp.ones_like(add["fwd_add"]),
+                               "rev": jnp.ones_like(add["rev_add"])})
+            edge_masks.update(add)
         else:
             raise ValueError(f"unknown augmentation method {method!r}")
 

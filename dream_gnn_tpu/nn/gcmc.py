@@ -121,6 +121,11 @@ def gcmc_layer_apply(params, graph: BipartiteGraph,
                 else adjs[r] * edge_masks["fwd"][r]
             a_r = adjs[r] if edge_masks is None \
                 else adjs[r] * edge_masks["rev"][r]
+            if edge_masks is not None and "fwd_add" in edge_masks:
+                # add_random_edges: union with the sampled add mask —
+                # hits on existing edges are no-ops (duplicate check).
+                a_f = jnp.maximum(a_f, edge_masks["fwd_add"][r])
+                a_r = jnp.maximum(a_r, edge_masks["rev_add"][r])
             msg_dis = msg_dis + jnp.dot(a_f.T, hd * cj_d,
                                         preferred_element_type=jnp.float32)
             # disease -> drug (etype rev-r) reuses W[r] (layers.py:126-127)

@@ -115,3 +115,34 @@ def test_checkpoint_roundtrip(tmp_path):
     assert jax.tree.structure(loaded) == jax.tree.structure(tree)
     for x, y in zip(jax.tree.leaves(loaded), jax.tree.leaves(tree)):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_add_random_edges():
+    import jax.numpy as jnp
+
+    from dream_gnn_tpu.model.dream_gnn import forward, init_params
+    from dream_gnn_tpu.train.loop import derive_model_cfg
+    from dream_gnn_tpu.config import TrainConfig
+    import dataclasses as dc
+
+    raw = synthetic_raw_data(n_drug=20, n_dis=15, n_pos=30, seed=6)
+    dataset = DreamDataset(raw, k=3)
+    inputs, _, _, _ = fold_inputs(dataset, 0)
+    cfg = AugmentConfig(methods=("add_random_edges",), add_edge_rate=0.5)
+    aug, masks = augment_inputs(jax.random.key(0), inputs, cfg)
+    assert masks is not None and "fwd_add" in masks
+    assert masks["fwd_add"].shape == (2, 20, 15)
+    # ~add_rate * E cells set per rating (loose statistical bound)
+    n_e1 = float(np.asarray(inputs.enc_graph.a1).sum())
+    got = float(np.asarray(masks["fwd_add"][1]).sum())
+    assert 0 < got < 6 * cfg.add_edge_rate * n_e1 + 10
+
+    # Forward runs with addition masks (train mode)
+    tc = TrainConfig()
+    model_cfg = dc.replace(derive_model_cfg(tc, dataset),
+                           layers=2, gcn_agg_units=24, gcn_out_units=8,
+                           nhid1=16, nhid2=8)
+    params = init_params(jax.random.key(1), model_cfg)
+    pred, *_ = forward(params, aug, model_cfg, train=True,
+                       key=jax.random.key(2), edge_masks=masks)
+    assert np.isfinite(np.asarray(pred)).all()
