@@ -127,6 +127,9 @@ class TrainConfig:
     save_model: bool = False
     generate_top_predictions: bool = False
     top_k: int = 200
+    # Periodic full-state checkpointing for preemption recovery (0 =
+    # off); must be a multiple of train_valid_interval to take effect.
+    checkpoint_every: int = 0
 
     model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
     augment: AugmentConfig = dataclasses.field(default_factory=AugmentConfig)

@@ -31,3 +31,40 @@ def load_pytree(path: str):
         treedef = pickle.loads(data["treedef"].tobytes())
         leaves = [data[f"leaf_{i}"] for i in range(len(data.files) - 1)]
     return jax.tree.unflatten(treedef, leaves)
+
+
+def save_train_state(path: str, state, step: int) -> None:
+    """Checkpoint a TrainState (params + opt state + PRNG key + lr).
+
+    PRNG keys are extended-dtype arrays; they are stored as raw key
+    data plus the impl name and re-wrapped on load.
+    """
+    impl = str(jax.random.key_impl(state.key))
+    save_pytree(path, {
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "lr": state.lr,
+        "key_data": jax.random.key_data(state.key),
+        "impl": np.frombuffer(impl.encode(), np.uint8),
+        "step": np.asarray(step),
+    })
+
+
+def load_train_state(path: str, template):
+    """Restore (TrainState, step) from ``save_train_state`` output.
+
+    ``template`` supplies the dataclass type; leaves are replaced.
+    """
+    import dataclasses
+
+    data = load_pytree(path)
+    impl = bytes(data["impl"]).decode()
+    key = jax.random.wrap_key_data(jax.numpy.asarray(data["key_data"]),
+                                   impl=impl)
+    state = dataclasses.replace(
+        template,
+        params=jax.tree.map(jax.numpy.asarray, data["params"]),
+        opt_state=jax.tree.map(jax.numpy.asarray, data["opt_state"]),
+        key=key,
+        lr=jax.numpy.asarray(data["lr"]))
+    return state, int(data["step"])

@@ -65,13 +65,16 @@ def fold_inputs(dataset: DreamDataset, cv: int):
 def train_fold(dataset: DreamDataset, cv: int, cfg: TrainConfig,
                seed_key: jax.Array, *, save_dir: Optional[str] = None,
                save_id: int = 0, verbose: bool = True,
-               train_fns=None):
+               train_fns=None, resume_from: Optional[str] = None):
     """Train one fold; returns a result dict with best metrics.
 
     ``train_fns`` may carry the (init_state, run_steps, evaluate)
     triple from a previous fold so compiled steps are reused across
     folds/seeds (the shapes match; the reference instead re-runs Python
-    for every fold).
+    for every fold).  ``resume_from`` restores a full TrainState
+    checkpoint (params + optimiser + PRNG + lr) written by the periodic
+    checkpointing below — the reference can only save final params,
+    never resume (train.py:342-351).
     """
     model_cfg = derive_model_cfg(cfg, dataset)
     if train_fns is None:
@@ -84,6 +87,11 @@ def train_fold(dataset: DreamDataset, cv: int, cfg: TrainConfig,
     k_params, k_state = jax.random.split(seed_key)
     params = init_params(k_params, model_cfg)
     state = init_state(params, k_state)
+    start_iter = 0
+    if resume_from:
+        from dream_gnn_tpu.train.checkpoint import load_train_state
+
+        state, start_iter = load_train_state(resume_from, state)
     plateau = PlateauScheduler(cfg.train_lr, patience=cfg.plateau_patience,
                                factor=cfg.plateau_factor)
 
@@ -100,7 +108,7 @@ def train_fold(dataset: DreamDataset, cv: int, cfg: TrainConfig,
                 train_auroc=0.0)
     best_params = None
     total_iters = cfg.train_max_iter - 1      # range(1, max_iter)
-    done = 0
+    done = start_iter
     t0 = time.perf_counter()
 
     from dream_gnn_tpu.utils.profiling import StepTimer
@@ -147,6 +155,13 @@ def train_fold(dataset: DreamDataset, cv: int, cfg: TrainConfig,
                         train_aupr=tr_aupr, train_auroc=tr_auroc)
             if cfg.save_model:
                 best_params = jax.tree.map(np.asarray, state.params)
+
+        if cfg.checkpoint_every and save_dir \
+                and done % cfg.checkpoint_every == 0:
+            from dream_gnn_tpu.train.checkpoint import save_train_state
+            save_train_state(
+                os.path.join(save_dir, f"ckpt_fold{save_id}.npz"),
+                state, done)
 
     elapsed = time.perf_counter() - t0
     if logger:
