@@ -7,25 +7,33 @@ masks) in HBM for both forward and backward — ~90% of step time at
 lrssl scale (scripts/ablate_step.py).
 
 This kernel fuses the whole per-edge pipeline into one VMEM-resident
-pass over edge tiles:
+pass over edge tiles of TILE=1024 edges (8 sub-rows of 128):
 
-    h1 = relu(proj_drug[src] + proj_dis[dst] + b1)      # gather+add
-    h1 = dropout(h1)                                     # on-core PRNG
-    h2 = relu(h1 @ w2 + b2)                              # MXU
-    h2 = dropout(h2)
-    out = sum(h2 * w3_row, -1) + b3                      # VPU reduce
+    for each 128-edge sub-row r:
+        h1_r = relu(P_src[r] @ proj_drug + P_dst[r] @ proj_dis + b1)
+        h1_r = dropout(h1_r)                     # on-core PRNG
+        h2_r = relu(h1_r @ w2 + b2)              # MXU
+        h2_r = dropout(h2_r)
+        out[:, r] = h2_r @ w3                    # per-column store
 
 Node projection tables (N, H1) are tiny (<1 MB) and stay fully in
-VMEM; the row gathers are expressed as one-hot MXU matmuls (P @ table)
-— on TPU this beats per-row dynamic addressing for node counts up to a
-few thousand (the reference datasets are hundreds).  Dropout bits come
-from the per-core hardware PRNG seeded per (step, tile), so no (E, H)
-mask arrays ever exist.
+VMEM; the row gathers are one-hot MXU matmuls (P @ table) — on TPU
+this beats per-row dynamic addressing for node counts up to a few
+thousand (the reference datasets are hundreds; Mosaic's dynamic_gather
+is single-vreg-only anyway).  Dropout bits come from the per-core
+hardware PRNG seeded per (step, tile), so no (E, H) mask arrays ever
+exist.
+
+Layout notes: edge ids live in (grid, 8, 128) int32 tiles and the
+output in (grid, 128, 8) — TPU HBM tiling pads (N, 1) integer/float
+columns to (N, 128), a 128x memory and DMA blowup, and Mosaic has no
+1D vector ops, so everything stays in 2D/3D tile shapes.  The (128, 8)
+output scramble is undone by one cheap XLA transpose outside.
 
 The backward pass is a second Pallas kernel that *recomputes* the tile
 intermediates from the same seeds (rematerialisation) and accumulates
-dproj via the transposed one-hot matmul — backward reads only the (E,)
-cotangent and writes node-table-sized gradients.
+dproj via the transposed one-hot matmuls — backward reads only the
+(E,) cotangent and writes node-table-sized gradients.
 
 Replaces: reference MLPDecoder (layers.py:341-379) + DGL apply_edges
 (the SDDMM-style gather, layers.py:364).
@@ -43,6 +51,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE = 1024          # edges per grid step
+_LANE = 128
+_ROWS = TILE // _LANE
 INTERPRET = False    # tests flip this to run the kernels on CPU
 MAX_ONEHOT_NODES = 8192   # beyond this the one-hot gather is wasteful
 
@@ -58,25 +68,20 @@ def _dropout_mask(shape, rate: float):
     return (u >= rate).astype(jnp.float32) / (1.0 - rate)
 
 
-def _onehot(ids, n, dtype):
-    cols = jax.lax.broadcasted_iota(jnp.int32, (ids.shape[0], n), 1)
-    return (ids[:, None] == cols).astype(dtype)
+def _onehot3(ids, n, dtype):
+    """(R, 128) ids -> (R, 128, n) one-hot."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, ids.shape + (n,), 2)
+    return (ids[:, :, None] == iota).astype(dtype)
 
 
-def _recompute_tile(seed_ref, i, src, dst, pd_ref, pv_ref, b1_ref, w2_ref,
-                    b2_ref, rate, train, dtype):
-    """Shared fwd math; returns (a1, h1d, m1, a2, h2d, m2)."""
+def _row_forward(r, p_src, p_dst, pd, pv, b1_ref, w2_ref, b2_ref,
+                 rate, train, dtype):
+    """One 128-edge sub-row; PRNG must already be seeded.  Returns
+    (a1, h1d, m1, a2, h2d, m2)."""
     use_drop = train and rate > 0.0
-    if use_drop:
-        pltpu.prng_seed(seed_ref[0] + i)
-    a1 = (
-        jnp.dot(_onehot(src, pd_ref.shape[0], dtype), pd_ref[:].astype(dtype),
-                preferred_element_type=jnp.float32)
-        + jnp.dot(_onehot(dst, pv_ref.shape[0], dtype),
-                  pv_ref[:].astype(dtype),
-                  preferred_element_type=jnp.float32)
-        + b1_ref[:]
-    )
+    a1 = (jnp.dot(p_src[r], pd, preferred_element_type=jnp.float32)
+          + jnp.dot(p_dst[r], pv, preferred_element_type=jnp.float32)
+          + b1_ref[:])
     h1 = jnp.maximum(a1, 0.0)
     m1 = _dropout_mask(h1.shape, rate) if use_drop else None
     h1d = h1 * m1 if use_drop else h1
@@ -89,19 +94,30 @@ def _recompute_tile(seed_ref, i, src, dst, pd_ref, pv_ref, b1_ref, w2_ref,
 
 
 def _fwd_kernel(seed_ref, src_ref, dst_ref, pd_ref, pv_ref, b1_ref, w2_ref,
-                b2_ref, w3_ref, b3_ref, out_ref, *, rate: float,
+                b2_ref, w3_ref, out_ref, *, rate: float,
                 train: bool, dtype):
     i = pl.program_id(0)
-    _, _, _, _, h2d, _ = _recompute_tile(
-        seed_ref, i, src_ref[:, 0], dst_ref[:, 0], pd_ref, pv_ref, b1_ref,
-        w2_ref, b2_ref, rate, train, dtype)
-    out_ref[:, 0] = jnp.sum(h2d * w3_ref[:], axis=1) + b3_ref[0, 0]
+    if train and rate > 0.0:
+        pltpu.prng_seed(seed_ref[0] + i)
+    p_src = _onehot3(src_ref[0], pd_ref.shape[0], dtype)
+    p_dst = _onehot3(dst_ref[0], pv_ref.shape[0], dtype)
+    pd = pd_ref[:].astype(dtype)
+    pv = pv_ref[:].astype(dtype)
+    for r in range(_ROWS):
+        _, _, _, _, h2d, _ = _row_forward(r, p_src, p_dst, pd, pv, b1_ref,
+                                          w2_ref, b2_ref, rate, train,
+                                          dtype)
+        # out column r: (128, 1) = sum(h2d * w3, lanes).  The scalar
+        # bias b3 is added OUTSIDE the kernel: fusing it into the
+        # reduction init trips Mosaic's constant-accumulator limit.
+        out_ref[0, :, r:r + 1] = jnp.sum(h2d * w3_ref[:], axis=1,
+                                         keepdims=True)
 
 
 def _bwd_kernel(seed_ref, src_ref, dst_ref, pd_ref, pv_ref, b1_ref, w2_ref,
                 b2_ref, w3_ref, g_ref,
                 dpd_ref, dpv_ref, db1_ref, dw2_ref, db2_ref, dw3_ref,
-                db3_ref, *, rate: float, train: bool, dtype):
+                *, rate: float, train: bool, dtype):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -112,58 +128,71 @@ def _bwd_kernel(seed_ref, src_ref, dst_ref, pd_ref, pv_ref, b1_ref, w2_ref,
         dw2_ref[:] = jnp.zeros_like(dw2_ref)
         db2_ref[:] = jnp.zeros_like(db2_ref)
         dw3_ref[:] = jnp.zeros_like(dw3_ref)
-        db3_ref[:] = jnp.zeros_like(db3_ref)
 
-    src = src_ref[:, 0]
-    dst = dst_ref[:, 0]
     use_drop = train and rate > 0.0
-    a1, h1d, m1, a2, h2d, m2 = _recompute_tile(
-        seed_ref, i, src, dst, pd_ref, pv_ref, b1_ref, w2_ref, b2_ref,
-        rate, train, dtype)
+    if use_drop:
+        pltpu.prng_seed(seed_ref[0] + i)
+    p_src = _onehot3(src_ref[0], pd_ref.shape[0], dtype)
+    p_dst = _onehot3(dst_ref[0], pv_ref.shape[0], dtype)
+    pd = pd_ref[:].astype(dtype)
+    pv = pv_ref[:].astype(dtype)
 
-    g = g_ref[:, 0]                                # (T,)
-    dw3_ref[:] += jnp.sum(g[:, None] * h2d, axis=0, keepdims=True)
-    # 2D keepdims reduction: Mosaic rejects 1D->scalar multi_reductions
-    # and scalar VMEM stores.
-    db3_ref[:] += jnp.sum(g_ref[:], axis=0, keepdims=True)
-    dh2 = g[:, None] * w3_ref[:]
-    if use_drop:
-        dh2 = dh2 * m2
-    da2 = jnp.where(a2 > 0.0, dh2, 0.0)
-    dw2_ref[:] += jnp.dot(h1d.astype(dtype).T, da2.astype(dtype),
-                          preferred_element_type=jnp.float32)
-    db2_ref[:] += jnp.sum(da2, axis=0, keepdims=True)
-    dh1 = jnp.dot(da2.astype(dtype), w2_ref[:].astype(dtype).T,
-                  preferred_element_type=jnp.float32)
-    if use_drop:
-        dh1 = dh1 * m1
-    da1 = jnp.where(a1 > 0.0, dh1, 0.0)
-    db1_ref[:] += jnp.sum(da1, axis=0, keepdims=True)
-    dpd_ref[:] += jnp.dot(_onehot(src, dpd_ref.shape[0], dtype).T,
-                          da1.astype(dtype),
-                          preferred_element_type=jnp.float32)
-    dpv_ref[:] += jnp.dot(_onehot(dst, dpv_ref.shape[0], dtype).T,
-                          da1.astype(dtype),
-                          preferred_element_type=jnp.float32)
+    for r in range(_ROWS):
+        # Recompute row r with the same PRNG stream as the forward.
+        a1, h1d, m1, a2, h2d, m2 = _row_forward(
+            r, p_src, p_dst, pd, pv, b1_ref, w2_ref, b2_ref, rate, train,
+            dtype)
+        g = g_ref[0, :, r:r + 1]                       # (128, 1)
+        dw3_ref[:] += jnp.dot(g.T.astype(dtype), h2d.astype(dtype),
+                              preferred_element_type=jnp.float32)
+        dh2 = g * w3_ref[:]                            # (128, H2)
+        if use_drop:
+            dh2 = dh2 * m2
+        da2 = jnp.where(a2 > 0.0, dh2, 0.0)
+        dw2_ref[:] += jnp.dot(h1d.astype(dtype).T, da2.astype(dtype),
+                              preferred_element_type=jnp.float32)
+        db2_ref[:] += jnp.sum(da2, axis=0, keepdims=True)
+        dh1 = jnp.dot(da2.astype(dtype), w2_ref[:].astype(dtype).T,
+                      preferred_element_type=jnp.float32)
+        if use_drop:
+            dh1 = dh1 * m1
+        da1 = jnp.where(a1 > 0.0, dh1, 0.0)
+        db1_ref[:] += jnp.sum(da1, axis=0, keepdims=True)
+        dpd_ref[:] += jnp.dot(p_src[r].T, da1.astype(dtype),
+                              preferred_element_type=jnp.float32)
+        dpv_ref[:] += jnp.dot(p_dst[r].T, da1.astype(dtype),
+                              preferred_element_type=jnp.float32)
 
 
 def _edge_blocks(edges, e_pad):
-    """(2, E) -> padded (e_pad, 1) src/dst int32 columns.
-
-    TPU block shapes need the trailing dims to be (8k, 128m) or equal
-    to the array dims; a (TILE, 1) column block satisfies that for
-    integer id streams.
-    """
+    """(2, E) -> (grid, 8, 128) int32 id tiles, padded with node 0."""
     e = edges.shape[1]
     pad = e_pad - e
     src = jnp.pad(edges[0].astype(jnp.int32), (0, pad))
     dst = jnp.pad(edges[1].astype(jnp.int32), (0, pad))
-    return src[:, None], dst[:, None]
+    grid = e_pad // TILE
+    return (src.reshape(grid, _ROWS, _LANE),
+            dst.reshape(grid, _ROWS, _LANE))
 
 
-_EDGE_SPEC = pl.BlockSpec((TILE, 1), lambda i, *_: (i, 0),
+_EDGE_SPEC = pl.BlockSpec((1, _ROWS, _LANE), lambda i, *_: (i, 0, 0),
                           memory_space=pltpu.VMEM)
+_OUT_SPEC = pl.BlockSpec((1, _LANE, _ROWS), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
 _FULL = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+
+def _unscramble(out3):
+    """(grid, 128, 8) column-major tile outputs -> flat (E_pad,).
+
+    Edge e = g*TILE + r*128 + i lives at out3[g, i, r].
+    """
+    return out3.transpose(0, 2, 1).reshape(-1)
+
+
+def _scramble(flat):
+    grid = flat.shape[0] // TILE
+    return flat.reshape(grid, _ROWS, _LANE).transpose(0, 2, 1)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
@@ -191,23 +220,21 @@ def _fwd_impl(proj_drug, proj_dis, b1, w2, b2, w3, b3, edges, seed,
     srcb, dstb = _edge_blocks(edges, e_pad)
     grid = e_pad // TILE
 
-    out = pl.pallas_call(
+    out3 = pl.pallas_call(
         functools.partial(_fwd_kernel, rate=rate, train=train, dtype=dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(grid,),
             in_specs=[_EDGE_SPEC, _EDGE_SPEC,
-                      _FULL, _FULL, _FULL, _FULL, _FULL, _FULL, _FULL],
-            out_specs=pl.BlockSpec((TILE, 1), lambda i, *_: (i, 0),
-                                   memory_space=pltpu.VMEM),
+                      _FULL, _FULL, _FULL, _FULL, _FULL, _FULL],
+            out_specs=_OUT_SPEC,
         ),
-        out_shape=jax.ShapeDtypeStruct((e_pad, 1), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((grid, _LANE, _ROWS), jnp.float32),
         interpret=INTERPRET,
     )(seed.astype(jnp.int32), srcb, dstb, proj_drug, proj_dis,
-      b1[None, :], w2, b2[None, :], w3[None, :],
-      jnp.reshape(b3, (1, 1)))
+      b1[None, :], w2, b2[None, :], w3[None, :])
     residuals = (proj_drug, proj_dis, b1, w2, b2, w3, edges, seed)
-    return out[:e, 0], residuals
+    return _unscramble(out3)[:e] + b3[0], residuals
 
 
 def _fused_decoder_fwd(proj_drug, proj_dis, b1, w2, b2, w3, b3, edges,
@@ -221,7 +248,7 @@ def _fused_decoder_bwd(rate, train, dtype, res, g):
     e = edges.shape[1]
     e_pad = _round_up(max(e, TILE), TILE)
     srcb, dstb = _edge_blocks(edges, e_pad)
-    gb = jnp.pad(g, (0, e_pad - e))[:, None]
+    g3 = _scramble(jnp.pad(g, (0, e_pad - e)))
     h1 = b1.shape[0]
     h2 = w2.shape[1]
 
@@ -231,8 +258,8 @@ def _fused_decoder_bwd(rate, train, dtype, res, g):
             num_scalar_prefetch=1,
             grid=(e_pad // TILE,),
             in_specs=[_EDGE_SPEC, _EDGE_SPEC,
-                      _FULL, _FULL, _FULL, _FULL, _FULL, _FULL, _EDGE_SPEC],
-            out_specs=[_FULL] * 7,
+                      _FULL, _FULL, _FULL, _FULL, _FULL, _FULL, _OUT_SPEC],
+            out_specs=[_FULL] * 6,
         ),
         out_shape=[
             jax.ShapeDtypeStruct(proj_drug.shape, jnp.float32),
@@ -241,16 +268,16 @@ def _fused_decoder_bwd(rate, train, dtype, res, g):
             jax.ShapeDtypeStruct((h1, h2), jnp.float32),
             jax.ShapeDtypeStruct((1, h2), jnp.float32),
             jax.ShapeDtypeStruct((1, h2), jnp.float32),
-            jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ],
         interpret=INTERPRET,
     )(seed.astype(jnp.int32), srcb, dstb, proj_drug, proj_dis,
-      b1[None, :], w2, b2[None, :], w3[None, :], gb)
+      b1[None, :], w2, b2[None, :], w3[None, :], g3)
 
-    dpd, dpv, db1, dw2, db2, dw3, db3 = outs
+    dpd, dpv, db1, dw2, db2, dw3 = outs
+    db3 = jnp.sum(g, keepdims=True)          # d/db3 (out + b3) in XLA
     f0 = np.zeros(edges.shape, jax.dtypes.float0)
     s0 = np.zeros(seed.shape, jax.dtypes.float0)
-    return (dpd, dpv, db1[0], dw2, db2[0], dw3[0], db3[0],
+    return (dpd, dpv, db1[0], dw2, db2[0], dw3[0], db3,
             f0, s0)
 
 
