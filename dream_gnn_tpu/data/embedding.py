@@ -57,9 +57,11 @@ class TextEmbedder:
 
 
 def chemberta_embeddings(smiles: Sequence[str],
-                         model_name: str = "seyonec/ChemBERTa-zinc-base-v1",
+                         model_name: str =
+                         "seyonec/PubChem10M_SMILES_BPE_450k",
                          device: str = "cpu") -> np.ndarray:
-    """768-d SMILES embeddings (embedding.py:47-72)."""
+    """SMILES embeddings via ChemBERTa (embedding.py:26-35 uses the
+    PubChem10M BPE-450k checkpoint, 1024-d per README)."""
     return TextEmbedder(model_name, max_length=256, device=device)(smiles)
 
 

@@ -90,6 +90,32 @@ class DreamDataset:
         return cls(raw, k=k, symm=symm, n_folds=n_folds,
                    kfold_seed=kfold_seed)
 
+    def augment_features(self, key, augment_cfg=None):
+        """Loader-side feature augmentation (data_loader.py:511-542):
+        Gaussian noise -> masking -> optional mixup over the normalised
+        node features.  Used by the novel-prediction path when
+        ``--use_augmentation`` is on; the train loop's per-iteration
+        augmentation lives in augment/masks.py instead."""
+        import jax
+
+        from dream_gnn_tpu.augment.masks import (feature_masking,
+                                                 feature_noise,
+                                                 mixup_features)
+        from dream_gnn_tpu.config import AugmentConfig
+
+        cfg = augment_cfg or AugmentConfig()
+        keys = jax.random.split(key, 6)
+        drug = feature_noise(keys[0], self.drug_feat,
+                             cfg.feature_noise_scale)
+        dis = feature_noise(keys[1], self.dis_feat,
+                            cfg.feature_noise_scale)
+        drug = feature_masking(keys[2], drug, cfg.feature_mask_rate)
+        dis = feature_masking(keys[3], dis, cfg.feature_mask_rate)
+        if "mix_up" in cfg.methods:
+            drug = mixup_features(keys[4], drug, cfg.mixup_alpha)
+            dis = mixup_features(keys[5], dis, cfg.mixup_alpha)
+        return drug, dis
+
     def fold(self, cv: int) -> FoldData:
         if cv not in self._folds:
             s = self.splits[cv]

@@ -65,6 +65,48 @@ def knn_sim_graph(sim_matrix: np.ndarray, k: int, symm: bool = True) -> NormAdj:
     return NormAdj(a=jnp.asarray(row_normalize(adj)))
 
 
+def knn_graph_max_symm(sim_matrix: np.ndarray, k: int) -> np.ndarray:
+    """Reference ``utils.knn_graph`` (utils.py:106-140): top-k adjacency
+    with MAX-symmetrisation ``A + A^T*(A^T>A) - A*(A^T>A)`` (entries stay
+    binary — contrast the loader's additive variant), no self-loop or
+    normalisation.  Returns the raw dense adjacency."""
+    sim_matrix = np.asarray(sim_matrix, np.float64)
+    n = sim_matrix.shape[0]
+    k_actual = min(k, n - 1)
+    if k_actual <= 0:
+        return np.eye(n, dtype=np.float32)
+    neighbor = np.argpartition(-sim_matrix, kth=k_actual, axis=1)[:, :k_actual]
+    adj = np.zeros((n, n), np.float32)
+    adj[np.repeat(np.arange(n), k_actual), neighbor.reshape(-1)] = 1.0
+    return np.maximum(adj, adj.T)
+
+
+def augmented_knn_graph(sim_matrix: np.ndarray, k: int,
+                        dropout_rate: float = 0.1, add_noise: bool = False,
+                        noise_scale: float = 0.1,
+                        rng: np.random.Generator | None = None) -> np.ndarray:
+    """Reference ``augmented_knn_graph`` (augmentation.py:341-399):
+    kNN (max-symm) -> optional value noise clipped to [0.01, 1] ->
+    random edge subset keep -> max-symmetrise -> add self-loops.
+    Host-side construction utility (used by the loader-side
+    augmentation path); returns a dense adjacency."""
+    rng = rng or np.random.default_rng()
+    adj = knn_graph_max_symm(sim_matrix, k)
+    if add_noise:
+        nz = adj != 0
+        vals = adj[nz] + rng.normal(0, noise_scale, int(nz.sum()))
+        adj[nz] = np.clip(vals, 0.01, 1.0)
+    if dropout_rate > 0:
+        r, c = np.nonzero(adj)
+        n_keep = max(1, int(len(r) * (1 - dropout_rate)))
+        keep = rng.choice(len(r), n_keep, replace=False)
+        kept = np.zeros_like(adj)
+        kept[r[keep], c[keep]] = adj[r[keep], c[keep]]
+        adj = kept
+    adj = np.maximum(adj, adj.T)
+    return (adj + np.eye(adj.shape[0], dtype=np.float32)).astype(np.float32)
+
+
 def feature_knn_graph(features: np.ndarray, k: int, symm: bool = True) -> NormAdj:
     """Reference ``_create_feature_similarity_graph`` (data_loader.py:312-344).
 

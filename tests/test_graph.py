@@ -96,3 +96,43 @@ def test_enc_graph_asymmetric_norm(rng):
     g = build_enc_graph(pairs, values, 3, 2, symm=False)
     np.testing.assert_allclose(np.asarray(g.cj_drug), np.ones((3, 1)))
     np.testing.assert_allclose(np.asarray(g.cj_dis), np.ones((2, 1)))
+
+
+def test_knn_graph_max_symm(rng):
+    """utils.knn_graph variant: max-symmetrised binary adjacency."""
+    from dream_gnn_tpu.graph.knn import knn_graph_max_symm
+
+    sim = rng.random((20, 20)).astype(np.float32)
+    a = knn_graph_max_symm(sim, k=3)
+    np.testing.assert_array_equal(a, a.T)           # symmetric
+    assert set(np.unique(a)) <= {0.0, 1.0}          # binary, no values 2
+    assert (a.sum(1) >= 3).all()                    # at least k neighbors
+
+
+def test_augmented_knn_graph(rng):
+    from dream_gnn_tpu.graph.knn import augmented_knn_graph
+
+    sim = rng.random((25, 25)).astype(np.float32)
+    a = augmented_knn_graph(sim, k=4, dropout_rate=0.3, add_noise=True,
+                            noise_scale=0.05,
+                            rng=np.random.default_rng(0))
+    np.testing.assert_array_equal(a, a.T)           # final max-symm
+    assert (np.diag(a) >= 1.0).all()                # self-loops added
+    off = a - np.eye(25)
+    nz = off[off != 0]
+    assert (nz >= 0.01 - 1e-6).all() and (nz <= 1.0 + 1e-6).all()
+
+
+def test_loader_augment_features():
+    import jax
+
+    from dream_gnn_tpu.data.loader import DreamDataset
+    from dream_gnn_tpu.data.synthetic import synthetic_raw_data
+
+    raw = synthetic_raw_data(n_drug=15, n_dis=10, n_pos=20, seed=8)
+    ds = DreamDataset(raw, k=3)
+    drug, dis = ds.augment_features(jax.random.key(0))
+    assert drug.shape == ds.drug_feat.shape
+    assert not np.array_equal(np.asarray(drug), np.asarray(ds.drug_feat))
+    # masking zeroed some entries
+    assert (np.asarray(drug) == 0).mean() > 0.03
