@@ -98,3 +98,29 @@ def test_eval_deterministic(small_setup):
     p1, *_ = forward(params, train_inputs, model_cfg, train=False)
     p2, *_ = forward(params, train_inputs, model_cfg, train=False)
     np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+
+
+def test_eval_uses_test_encoder_graph(small_setup):
+    """Parity trap §7.3.1: test-set evaluation must run message passing
+    on the TEST encoder graph (built from test pairs + labels), not the
+    train graph (train.py:203-204, evaluation.py:33)."""
+    import dataclasses as dc
+
+    raw, dataset, model_cfg, params = small_setup
+    train_inputs, test_inputs, _, test_labels = fold_inputs(dataset, 0)
+
+    # The wiring: test_inputs carries the test enc graph.
+    assert test_inputs.enc_graph is dataset.fold(0).test_enc
+    a1_train = np.asarray(train_inputs.enc_graph.a1)
+    a1_test = np.asarray(test_inputs.enc_graph.a1)
+    assert not np.array_equal(a1_train, a1_test)
+    # Union of fold masks partitions all pairs.
+    total = np.asarray(train_inputs.enc_graph.mask) + \
+        np.asarray(test_inputs.enc_graph.mask)
+    np.testing.assert_array_equal(total, np.ones_like(total))
+
+    # Scores genuinely differ between the two encoder graphs.
+    p_test, *_ = forward(params, test_inputs, model_cfg, train=False)
+    swapped = dc.replace(test_inputs, enc_graph=train_inputs.enc_graph)
+    p_swap, *_ = forward(params, swapped, model_cfg, train=False)
+    assert not np.allclose(np.asarray(p_test), np.asarray(p_swap))
