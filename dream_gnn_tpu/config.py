@@ -14,7 +14,7 @@ Dead reference flags (``l2_reg_weight``, ``use_gate_attention``,
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence
+from typing import Sequence
 
 
 @dataclasses.dataclass(frozen=True)

@@ -10,7 +10,7 @@ by position, so this ordering is part of the data contract.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Tuple
+from typing import Dict
 
 import numpy as np
 from sklearn.model_selection import KFold

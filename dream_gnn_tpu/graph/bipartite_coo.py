@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dream_gnn_tpu.graph.coo import CooGraph, coo_from_arrays
+from dream_gnn_tpu.graph.coo import coo_from_arrays
 
 
 @jax.tree_util.register_dataclass

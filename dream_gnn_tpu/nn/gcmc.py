@@ -33,7 +33,6 @@ import jax
 import jax.numpy as jnp
 
 from dream_gnn_tpu.graph.bipartite import BipartiteGraph
-from dream_gnn_tpu.graph.bipartite_coo import BipartiteCoo
 from dream_gnn_tpu.graph.coo import CooGraph
 from dream_gnn_tpu.kernels.spmm import spmm_coo
 from dream_gnn_tpu.nn import init as init_lib

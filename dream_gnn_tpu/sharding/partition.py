@@ -15,8 +15,6 @@ sequence role (SURVEY.md §5, long-context entry).
 
 from __future__ import annotations
 
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

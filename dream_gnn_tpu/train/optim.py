@@ -14,7 +14,6 @@ scalar into the jitted step (SURVEY.md §7.3.13).
 
 from __future__ import annotations
 
-import jax
 import optax
 
 
