@@ -76,6 +76,12 @@ def make_multichip_train_step(mesh: Mesh, model_cfg: ModelConfig,
     state (folds are independent runs) sharded over the mesh;
     ``step(state, stacked)`` advances every fold by one iteration.
     """
+    if model_cfg.decoder_backend != "xla":
+        # The fused Pallas decoder has no batching rule; the fold-vmapped
+        # path always uses the XLA lowering.
+        import dataclasses
+
+        model_cfg = dataclasses.replace(model_cfg, decoder_backend="xla")
     tx = make_optimizer(train_cfg.train_grad_clip, train_cfg.weight_decay)
     one_step = make_one_step(model_cfg, train_cfg, tx)
 
