@@ -1,0 +1,71 @@
+"""Grouped-gather SpMM vs dense reference (CPU interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import dream_gnn_tpu.kernels.pallas_spmm_gather as psg
+from dream_gnn_tpu.graph.grouped import (grouped_from_arrays,
+                                         grouped_pair_from_arrays)
+
+
+@pytest.fixture(autouse=True)
+def _interpret():
+    old = psg.INTERPRET
+    psg.INTERPRET = True
+    yield
+    psg.INTERPRET = old
+
+
+def _rand_edges(rng, n_dst, n_src, n_edges):
+    src = rng.integers(0, n_src, n_edges)
+    dst = rng.integers(0, n_dst, n_edges)
+    val = (rng.random(n_edges) + 0.5).astype(np.float32)
+    return src, dst, val
+
+
+@pytest.mark.parametrize("n_dst,n_src,n_edges", [
+    (600, 700, 3000),        # multi-tile
+    (100, 90, 200),          # single tile
+    (1200, 300, 400),        # empty dst tiles
+])
+def test_gather_matches_dense(rng, n_dst, n_src, n_edges):
+    src, dst, val = _rand_edges(rng, n_dst, n_src, n_edges)
+    a = np.zeros((n_dst, n_src), np.float32)
+    np.add.at(a, (dst, src), val)
+    x = rng.normal(size=(n_src, 128)).astype(np.float32)
+    expected = a @ x
+
+    g = grouped_from_arrays(src, dst, val, n_src, n_dst)
+    out = np.asarray(psg._spmm_gather_raw(g, jnp.asarray(x),
+                                          dtype=jnp.float32))
+    np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-4)
+
+
+def test_gather_grad_is_transpose(rng):
+    src, dst, val = _rand_edges(rng, 300, 250, 1500)
+    a = np.zeros((300, 250), np.float32)
+    np.add.at(a, (dst, src), val)
+    pair = grouped_pair_from_arrays(src, dst, val, 250, 300)
+    x = jnp.asarray(rng.normal(size=(250, 128)).astype(np.float32))
+
+    def f(x):
+        return jnp.sum(psg.spmm_gather(pair, x, jnp.float32) ** 2)
+
+    grad = jax.grad(f)(x)
+    expected = 2.0 * a.T @ (a @ np.asarray(x))
+    np.testing.assert_allclose(np.asarray(grad), expected,
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_duplicate_edges_accumulate(rng):
+    src = np.array([0, 0, 5], np.int64)
+    dst = np.array([1, 1, 600], np.int64)
+    val = np.array([1.0, 2.0, 1.5], np.float32)
+    g = grouped_from_arrays(src, dst, val, 10, 700)
+    x = jnp.asarray(np.eye(10, 128 * 0 + 10, dtype=np.float32))
+    x = jnp.pad(x, ((0, 0), (0, 118)))   # (10, 128)
+    out = np.asarray(psg._spmm_gather_raw(g, x, dtype=jnp.float32))
+    assert out[1, 0] == pytest.approx(3.0)
+    assert out[600, 5] == pytest.approx(1.5)
