@@ -130,3 +130,57 @@ def grouped_pair_from_arrays(src, dst, val, n_src: int,
     return GroupedCooPair(
         fwd=grouped_from_arrays(src, dst, val, n_src, n_dst),
         bwd=grouped_from_arrays(dst, src, val, n_dst, n_src))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BipartiteGrouped:
+    """Relation-typed bipartite encoder graph, grouped-gather layout.
+
+    The scale-config counterpart of graph/bipartite_coo.BipartiteCoo:
+    each (rating, direction) relation is a GroupedCooPair consumed by
+    kernels/pallas_spmm_gather.  Mirrors the COO layout's norm
+    semantics (degree summed over all relations).
+    """
+
+    fwd: tuple        # tuple[GroupedCooPair], len R (drug -> disease)
+    rev: tuple        # tuple[GroupedCooPair], len R (disease -> drug)
+    ci_drug: jnp.ndarray
+    cj_drug: jnp.ndarray
+    ci_dis: jnp.ndarray
+    cj_dis: jnp.ndarray
+
+    @property
+    def num_ratings(self) -> int:
+        return len(self.fwd)
+
+
+def build_enc_graph_grouped(pairs, values, n_drug: int, n_dis: int,
+                            symm: bool = True,
+                            ratings=(0, 1)) -> BipartiteGrouped:
+    pairs = np.asarray(pairs)
+    values = np.asarray(values)
+    fwd, rev = [], []
+    for r in ratings:
+        idx = np.where(values == r)[0]
+        dr, di = pairs[0][idx], pairs[1][idx]
+        ones = np.ones(len(idx), np.float32)
+        fwd.append(grouped_pair_from_arrays(dr, di, ones, n_drug, n_dis))
+        rev.append(grouped_pair_from_arrays(di, dr, ones, n_dis, n_drug))
+
+    deg_drug = np.bincount(pairs[0], minlength=n_drug).astype(np.float32)
+    deg_dis = np.bincount(pairs[1], minlength=n_dis).astype(np.float32)
+
+    def _inv_sqrt(deg):
+        out = np.zeros_like(deg, np.float32)
+        nz = deg > 0
+        out[nz] = 1.0 / np.sqrt(deg[nz])
+        return jnp.asarray(out[:, None])
+
+    ci_drug = _inv_sqrt(deg_drug)
+    ci_dis = _inv_sqrt(deg_dis)
+    cj_drug = ci_drug if symm else jnp.ones((n_drug, 1), jnp.float32)
+    cj_dis = ci_dis if symm else jnp.ones((n_dis, 1), jnp.float32)
+    return BipartiteGrouped(fwd=tuple(fwd), rev=tuple(rev),
+                            ci_drug=ci_drug, cj_drug=cj_drug,
+                            ci_dis=ci_dis, cj_dis=cj_dis)

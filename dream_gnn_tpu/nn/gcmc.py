@@ -131,15 +131,30 @@ def gcmc_layer_apply(params, graph: BipartiteGraph,
             msg_drug = msg_drug + jnp.dot(a_r, hv * cj_v,
                                           preferred_element_type=jnp.float32)
         else:
-            # Sparse layout: edge dropout masks are per padded edge.
-            g_f: CooGraph = graph.fwd[r]
-            g_r: CooGraph = graph.rev[r]
-            if edge_masks is not None:
-                import dataclasses as _dc
-                g_f = _dc.replace(g_f, val=g_f.val * edge_masks["fwd"][r])
-                g_r = _dc.replace(g_r, val=g_r.val * edge_masks["rev"][r])
-            msg_dis = msg_dis + spmm_coo(g_f, hd * cj_d)
-            msg_drug = msg_drug + spmm_coo(g_r, hv * cj_v)
+            from dream_gnn_tpu.graph.grouped import BipartiteGrouped
+
+            if isinstance(graph, BipartiteGrouped):
+                # Scale path: grouped-gather Pallas SpMM.  Edge masks
+                # would need the fwd->bwd slot permutation to keep the
+                # custom VJP consistent — not wired yet.
+                assert edge_masks is None, \
+                    "edge masks unsupported on the grouped layout"
+                from dream_gnn_tpu.kernels.pallas_spmm_gather import \
+                    spmm_gather
+                msg_dis = msg_dis + spmm_gather(graph.fwd[r], hd * cj_d)
+                msg_drug = msg_drug + spmm_gather(graph.rev[r], hv * cj_v)
+            else:
+                # Sparse COO layout: edge dropout masks are per edge.
+                g_f: CooGraph = graph.fwd[r]
+                g_r: CooGraph = graph.rev[r]
+                if edge_masks is not None:
+                    import dataclasses as _dc
+                    g_f = _dc.replace(g_f,
+                                      val=g_f.val * edge_masks["fwd"][r])
+                    g_r = _dc.replace(g_r,
+                                      val=g_r.val * edge_masks["rev"][r])
+                msg_dis = msg_dis + spmm_coo(g_f, hd * cj_d)
+                msg_drug = msg_drug + spmm_coo(g_r, hv * cj_v)
 
     drug_h = act(msg_drug * graph.ci_drug)
     dis_h = act(msg_dis * graph.ci_dis)

@@ -67,3 +67,26 @@ timed("segment_sum fwd+bwd",
 timed("blocked pallas fwd+bwd",
       lambda x, gr: jax.grad(
           lambda y: jnp.sum(spmm_blocked(gr, y) ** 2))(x), pair)
+
+# Grouped sub-vreg gather kernel
+from dream_gnn_tpu.graph.grouped import grouped_pair_from_arrays
+from dream_gnn_tpu.kernels.pallas_spmm_gather import spmm_gather
+
+print("building grouped layout...", flush=True)
+t0 = time.perf_counter()
+gpair = grouped_pair_from_arrays(src, dst, val, n_src, n_dst)
+print(f"grouped build: {time.perf_counter() - t0:.1f}s, "
+      f"chunks={gpair.fwd.n_chunks}", flush=True)
+
+@jax.jit
+def _check2(x, g, gpair):
+    o1 = spmm_coo(g, x)
+    o2 = spmm_gather(gpair, x, jnp.float32)
+    return jnp.max(jnp.abs(o1 - o2)) / (1e-6 + jnp.max(jnp.abs(o1)))
+
+print(f"rel err gather vs segment_sum: "
+      f"{float(_check2(x, g, gpair)):.2e}", flush=True)
+timed("gather pallas fwd (bf16)", lambda x, gr: spmm_gather(gr, x), gpair)
+timed("gather pallas fwd+bwd",
+      lambda x, gr: jax.grad(
+          lambda y: jnp.sum(spmm_gather(gr, y) ** 2))(x), gpair)

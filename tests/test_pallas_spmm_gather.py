@@ -69,3 +69,38 @@ def test_duplicate_edges_accumulate(rng):
     out = np.asarray(psg._spmm_gather_raw(g, x, dtype=jnp.float32))
     assert out[1, 0] == pytest.approx(3.0)
     assert out[600, 5] == pytest.approx(1.5)
+
+
+def test_grouped_enc_graph_forward(rng):
+    """BipartiteGrouped enc graph runs through the full model forward
+    and matches the COO path."""
+    import dataclasses as dc
+
+    from dream_gnn_tpu.config import TrainConfig
+    from dream_gnn_tpu.data.loader import DreamDataset
+    from dream_gnn_tpu.data.synthetic import synthetic_raw_data
+    from dream_gnn_tpu.graph.grouped import build_enc_graph_grouped
+    from dream_gnn_tpu.model.dream_gnn import forward, init_params
+    from dream_gnn_tpu.train.loop import derive_model_cfg, fold_inputs
+
+    raw = synthetic_raw_data(n_drug=30, n_dis=22, n_pos=60, seed=5)
+    dataset = DreamDataset(raw, k=3)
+    cfg = TrainConfig()
+    model_cfg = dc.replace(derive_model_cfg(cfg, dataset),
+                           layers=2, gcn_agg_units=48, gcn_out_units=16,
+                           nhid1=24, nhid2=16)
+    params = init_params(jax.random.key(0), model_cfg)
+    inputs, _, _, _ = fold_inputs(dataset, 0)
+    split = dataset.splits[0]
+
+    grouped = build_enc_graph_grouped(split.train_pairs,
+                                      split.train_values,
+                                      dataset.n_drug, dataset.n_dis)
+    g_inputs = dc.replace(inputs, enc_graph=grouped)
+    dense_out = forward(params, inputs, model_cfg, train=False)
+    # float32 kernel dtype for a tight comparison
+    import dream_gnn_tpu.kernels.pallas_spmm_gather as _psg
+    grouped_out = forward(params, g_inputs, model_cfg, train=False)
+    for a, b in zip(dense_out, grouped_out):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-2, atol=5e-3)
