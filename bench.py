@@ -51,7 +51,7 @@ def bench_tpu(dataset, cfg, model_cfg, steps=100, repeats=3):
     from dream_gnn_tpu.train.loop import fold_inputs
     from dream_gnn_tpu.train.step import make_train_fns
 
-    init_state, run_steps, _ = make_train_fns(model_cfg, cfg)
+    init_state, run_steps, *_ = make_train_fns(model_cfg, cfg)
     train_inputs, _, train_labels, _ = fold_inputs(dataset, 0)
     params = init_params(jax.random.key(0), model_cfg)
     state = init_state(params, jax.random.key(1, impl=cfg.rng_impl))

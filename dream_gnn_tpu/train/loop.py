@@ -79,7 +79,7 @@ def train_fold(dataset: DreamDataset, cv: int, cfg: TrainConfig,
     model_cfg = derive_model_cfg(cfg, dataset)
     if train_fns is None:
         train_fns = make_train_fns(model_cfg, cfg)
-    init_state, run_steps, evaluate = train_fns
+    init_state, run_steps, evaluate, run_interval = train_fns
 
     train_inputs, test_inputs, train_labels, test_labels = fold_inputs(
         dataset, cv)
@@ -121,20 +121,21 @@ def train_fold(dataset: DreamDataset, cv: int, cfg: TrainConfig,
     while done < total_iters:
         chunk = min(cfg.train_valid_interval, total_iters - done)
         timer.start()
-        state, losses = run_steps(state, train_inputs, train_labels, chunk)
-        jax.block_until_ready(losses)
+        if chunk != cfg.train_valid_interval:
+            # Trailing partial chunk: reference never evals there.
+            state, losses = run_steps(state, train_inputs, train_labels,
+                                      chunk)
+            jax.block_until_ready(losses)
+            timer.stop(chunk)
+            done += chunk
+            break
+        # One fused dispatch: train chunk + train eval + test eval.
+        state, metrics = run_interval(state, train_inputs, train_labels,
+                                      test_inputs, test_labels, chunk)
+        loss, tr_auroc, tr_aupr, te_auroc, te_aupr = [
+            float(x) for x in jax.device_get(metrics)]
         timer.stop(chunk)
         done += chunk
-        if done % cfg.train_valid_interval != 0:
-            break  # trailing partial chunk: reference never evals there
-
-        tr_auroc, tr_aupr, _ = evaluate(state.params, train_inputs,
-                                        train_labels)
-        te_auroc, te_aupr, _ = evaluate(state.params, test_inputs,
-                                        test_labels)
-        loss = float(losses[-1])
-        tr_auroc, tr_aupr = float(tr_auroc), float(tr_aupr)
-        te_auroc, te_aupr = float(te_auroc), float(te_aupr)
 
         new_lr = plateau.step(te_aupr)
         if new_lr != float(state.lr):

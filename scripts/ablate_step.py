@@ -22,7 +22,7 @@ STEPS = 50
 
 
 def measure(name, cfg, model_cfg, dataset, inputs, labels):
-    init_state, run_steps, _ = make_train_fns(model_cfg, cfg)
+    init_state, run_steps, *_ = make_train_fns(model_cfg, cfg)
     params = init_params(jax.random.key(0), model_cfg)
     state = init_state(params, jax.random.key(1))
     state, losses = run_steps(state, inputs, labels, STEPS)  # compile+warm

@@ -77,7 +77,7 @@ def main():
         dis_graph=eye_v, dis_sim_feat=dis_feat, dis_feat=dis_feat,
         drug_feature_graph=None, dis_feature_graph=None)
 
-    init_state, run_steps, _ = make_train_fns(model, cfg)
+    init_state, run_steps, *_ = make_train_fns(model, cfg)
     params = init_params(jax.random.key(0), model)
     state = init_state(params, jax.random.key(1, impl=cfg.rng_impl))
 

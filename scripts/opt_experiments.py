@@ -16,7 +16,7 @@ STEPS = 50
 
 
 def measure(name, cfg, model_cfg, inputs, labels, key_impl=None):
-    init_state, run_steps, _ = make_train_fns(model_cfg, cfg)
+    init_state, run_steps, *_ = make_train_fns(model_cfg, cfg)
     params = init_params(jax.random.key(0), model_cfg)
     key = (jax.random.key(1) if key_impl is None
            else jax.random.key(1, impl=key_impl))

@@ -54,7 +54,7 @@ def main():
     timeit("loss fwd", jax.jit(loss_only), params, inputs, key)
     timeit("loss fwd+bwd", jax.jit(jax.grad(loss_only)), params, inputs, key)
 
-    init_state, run_steps, evaluate = make_train_fns(model_cfg, cfg)
+    init_state, run_steps, evaluate, _ = make_train_fns(model_cfg, cfg)
     state = init_state(params, key)
     # run_steps donates its state arg -> thread the state through.
     state, _ = run_steps(state, inputs, labels, 50)   # compile

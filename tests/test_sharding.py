@@ -73,7 +73,7 @@ def test_sharded_matches_single_device(setup):
     state = init_state(jax.random.key(0), 2)
     sharded_state, sharded_losses = step(state, stacked)
 
-    init_single, run_steps, _ = make_train_fns(model_det, cfg_det)
+    init_single, run_steps, *_ = make_train_fns(model_det, cfg_det)
     for i, cv in enumerate([0, 1]):
         tr_in, _, tr_lab, _ = fold_inputs(dataset, cv)
         params_i = jax.tree.map(lambda x: x[i], state.params)

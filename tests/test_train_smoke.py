@@ -47,7 +47,7 @@ def test_train_fold_runs_and_learns(tiny_dataset, tiny_cfg, tmp_path_factory):
 def test_loss_decreases(tiny_dataset, tiny_cfg):
     res = train_fold(tiny_dataset, 1, tiny_cfg, jax.random.key(1),
                      verbose=False)
-    init_state, run_steps, evaluate = res["train_fns"]
+    init_state, run_steps, evaluate, _ = res["train_fns"]
     # Re-run first chunk fresh and compare early vs late losses.
     from dream_gnn_tpu.model.dream_gnn import init_params
     from dream_gnn_tpu.train.loop import fold_inputs
