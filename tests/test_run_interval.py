@@ -23,8 +23,12 @@ def test_run_interval_matches_separate_calls():
     tr_in, te_in, tr_lab, te_lab = fold_inputs(dataset, 0)
     params = init_params(jax.random.key(0), model_cfg)
 
-    s1 = init_state(params, jax.random.key(1))
-    s2 = init_state(params, jax.random.key(1))
+    # Independent buffer copies: run_steps/run_interval donate their
+    # state, and both states would otherwise share the params arrays.
+    s1 = init_state(jax.tree.map(jax.numpy.copy, params),
+                    jax.random.key(1))
+    s2 = init_state(jax.tree.map(jax.numpy.copy, params),
+                    jax.random.key(1))
 
     s1, losses = run_steps(s1, tr_in, tr_lab, 25)
     tr_auroc, tr_aupr, _ = evaluate(s1.params, tr_in, tr_lab)
