@@ -134,12 +134,18 @@ class TrainConfig:
     model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
     augment: AugmentConfig = dataclasses.field(default_factory=AugmentConfig)
 
-    # TPU-specific execution knobs (no reference counterpart)
-    dtype: str = "float32"              # compute dtype for matmuls
-    spmm_backend: str = "auto"          # 'dense' | 'coo' | 'pallas' | 'auto'
-    donate_state: bool = True
     # PRNG implementation for training keys: 'rbg' uses the TPU's
     # hardware-friendly generator (threefry dropout masks cost ~5ms/step
     # at lrssl scale; rbg makes them ~free). 'threefry2x32' for the
     # portable default.
     rng_impl: str = "rbg"
+
+
+def wide_model_config(**overrides) -> ModelConfig:
+    """BASELINE.json config 4: 512-dim hidden, 5 GCN layers, dense
+    similarity SpMM, intended for 1-host multi-chip data-parallel folds
+    (sharding/partition.py)."""
+    base = dict(layers=5, gcn_agg_units=1536, gcn_out_units=512,
+                nhid1=768, nhid2=512, compute_dtype="bfloat16")
+    base.update(overrides)
+    return ModelConfig(**base)
