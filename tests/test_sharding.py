@@ -89,3 +89,13 @@ def test_graft_dryrun():
     import __graft_entry__ as graft
 
     graft.dryrun_multichip(8)
+
+
+def test_multihost_helpers_single_process():
+    from dream_gnn_tpu.sharding import multihost
+
+    multihost.initialize()          # no-op in single-process tests
+    mesh = multihost.global_mesh(mp=2)
+    assert mesh.devices.size == 8
+    s = multihost.local_shard_slice(10)
+    assert s == slice(0, 10)
