@@ -95,6 +95,39 @@ def aupr(y_true: jnp.ndarray, y_score: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(jnp.where(valid, contrib, 0.0))
 
 
+@jax.jit
+def auroc_masked(y_true, y_score, valid):
+    """AUROC over the subset where ``valid > 0`` (static shapes).
+
+    Invalid points are pushed to score -inf/label 0; they then occupy
+    the lowest ranks, so each positive's rank is inflated by exactly
+    n_invalid — subtracted in closed form.  Enables padded fold-stacked
+    evaluation without per-fold shapes.
+    """
+    valid = valid > 0
+    y = jnp.where(valid, y_true, 0.0).astype(jnp.float32)
+    s = jnp.where(valid, y_score, -jnp.inf).astype(jnp.float32)
+    n_inv = jnp.sum(~valid).astype(jnp.float32)
+    ranks = _average_ranks(s)
+    n_pos = jnp.sum(y)
+    n_neg = y.shape[0] - n_inv - n_pos
+    rank_sum = jnp.sum(ranks * y) - n_pos * n_inv
+    return (rank_sum - n_pos * (n_pos + 1.0) / 2.0) / (n_pos * n_neg)
+
+
+@jax.jit
+def aupr_masked(y_true, y_score, valid):
+    """AUPR over the subset where ``valid > 0``.
+
+    Invalid points (score -inf, label 0) sort after every valid point
+    and the PR curve truncates at first full recall, so the standard
+    computation is exact as-is.
+    """
+    valid = valid > 0
+    return aupr(jnp.where(valid, y_true, 0.0),
+                jnp.where(valid, y_score, -jnp.inf))
+
+
 def roc_aupr_host(y_true, y_score):
     """sklearn-backed (AUROC, AUPR) — the reference's exact computation
     (evaluation.py:60-65)."""

@@ -51,3 +51,22 @@ def test_perfect_and_inverted(rng):
     assert float(auroc(y, s)) == pytest.approx(1.0)
     assert float(aupr(y, s)) == pytest.approx(1.0)
     assert float(auroc(y, -s)) == pytest.approx(0.0)
+
+
+@pytest.mark.parametrize("n,n_pad", [(200, 56), (500, 12), (333, 200)])
+def test_masked_metrics_match_subset(rng, n, n_pad):
+    """Masked variants over a padded array == plain metrics on the
+    valid subset (sklearn-checked)."""
+    from dream_gnn_tpu.utils.metrics import aupr_masked, auroc_masked
+
+    y = (rng.random(n + n_pad) < 0.3).astype(np.float32)
+    s = np.round(rng.normal(size=n + n_pad), 1).astype(np.float32)
+    valid = np.zeros(n + n_pad, np.float32)
+    idx = rng.choice(n + n_pad, n, replace=False)
+    valid[idx] = 1.0
+
+    ref_roc, ref_pr = roc_aupr_host(y[idx.astype(int)], s[idx.astype(int)])
+    assert float(auroc_masked(y, s, valid)) == pytest.approx(ref_roc,
+                                                             abs=1e-6)
+    assert float(aupr_masked(y, s, valid)) == pytest.approx(ref_pr,
+                                                            abs=1e-6)
