@@ -32,7 +32,13 @@ from dream_gnn_tpu.graph.knn import NormAdj, feature_knn_graph, knn_sim_graph
 
 @dataclasses.dataclass(frozen=True)
 class FoldData:
-    """Arrays for one CV fold."""
+    """Arrays for one CV fold.
+
+    With ``pad_folds`` (loader option) the decoder edge lists are padded
+    to dataset-wide budgets so every fold shares one compiled shape;
+    ``train_w``/``test_w`` are 1/0 validity weights consumed by the
+    weighted loss and masked metrics.
+    """
 
     train_enc: BipartiteGraph
     train_src: jnp.ndarray          # (E_train,) int32, pair order
@@ -42,18 +48,22 @@ class FoldData:
     test_src: jnp.ndarray
     test_dst: jnp.ndarray
     test_labels: jnp.ndarray
+    train_w: Optional[jnp.ndarray] = None
+    test_w: Optional[jnp.ndarray] = None
 
 
 class DreamDataset:
     """Loads/generates a dataset and materialises all folds."""
 
     def __init__(self, raw: RawData, *, k: int = 4, symm: bool = True,
-                 n_folds: int = 10, kfold_seed: int = 1024):
+                 n_folds: int = 10, kfold_seed: int = 1024,
+                 pad_folds: bool = True):
         self.raw = raw
         self.n_drug = raw.n_drug
         self.n_dis = raw.n_dis
         self.k = k
         self.symm = symm
+        self.pad_folds = pad_folds
 
         # Features: L2-normalised embeddings (data_loader.py:221-222).
         def _l2(x):
@@ -116,19 +126,46 @@ class DreamDataset:
             dis = mixup_features(keys[5], dis, cfg.mixup_alpha)
         return drug, dis
 
+    def _edge_budgets(self):
+        """Dataset-wide (train, test) edge budgets: max over folds,
+        rounded up — one compiled shape serves every fold."""
+        tr = max(s.train_pairs.shape[1] for s in self.splits.values())
+        te = max(s.test_pairs.shape[1] for s in self.splits.values())
+        rnd = lambda x: -(-x // 256) * 256  # noqa: E731
+        return rnd(tr), rnd(te)
+
     def fold(self, cv: int) -> FoldData:
         if cv not in self._folds:
             s = self.splits[cv]
+
+            def _pad(pairs, values, budget):
+                e = pairs.shape[1]
+                if not self.pad_folds:
+                    return (jnp.asarray(pairs[0], jnp.int32),
+                            jnp.asarray(pairs[1], jnp.int32),
+                            jnp.asarray(values), None)
+                src = np.zeros(budget, np.int32)
+                dst = np.zeros(budget, np.int32)
+                lab = np.zeros(budget, np.float32)
+                w = np.zeros(budget, np.float32)
+                src[:e], dst[:e] = pairs[0], pairs[1]
+                lab[:e] = values
+                w[:e] = 1.0
+                return (jnp.asarray(src), jnp.asarray(dst),
+                        jnp.asarray(lab), jnp.asarray(w))
+
+            b_tr, b_te = self._edge_budgets() if self.pad_folds else (0, 0)
+            tr_src, tr_dst, tr_lab, tr_w = _pad(s.train_pairs,
+                                                s.train_values, b_tr)
+            te_src, te_dst, te_lab, te_w = _pad(s.test_pairs,
+                                                s.test_values, b_te)
             self._folds[cv] = FoldData(
                 train_enc=build_enc_graph(s.train_pairs, s.train_values,
                                           self.n_drug, self.n_dis, self.symm),
-                train_src=jnp.asarray(s.train_pairs[0], jnp.int32),
-                train_dst=jnp.asarray(s.train_pairs[1], jnp.int32),
-                train_labels=jnp.asarray(s.train_values),
+                train_src=tr_src, train_dst=tr_dst, train_labels=tr_lab,
                 test_enc=build_enc_graph(s.test_pairs, s.test_values,
                                          self.n_drug, self.n_dis, self.symm),
-                test_src=jnp.asarray(s.test_pairs[0], jnp.int32),
-                test_dst=jnp.asarray(s.test_pairs[1], jnp.int32),
-                test_labels=jnp.asarray(s.test_values),
+                test_src=te_src, test_dst=te_dst, test_labels=te_lab,
+                train_w=tr_w, test_w=te_w,
             )
         return self._folds[cv]

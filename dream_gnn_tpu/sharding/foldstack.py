@@ -46,23 +46,25 @@ def stack_folds(dataset: DreamDataset, folds: Sequence[int],
                 pad_multiple: int = 128) -> StackedFolds:
     """Stack the *train* side of the given folds."""
     per_fold = [fold_inputs(dataset, cv) for cv in folds]
+    fold_w = [dataset.fold(cv).train_w for cv in folds]
     e_max = max(int(t[0].dec_src.shape[0]) for t in per_fold)
     e_pad = -(-e_max // pad_multiple) * pad_multiple
 
     stacked_inputs = []
     labels = []
     weights = []
-    for train_in, _test_in, train_lab, _ in per_fold:
+    for (train_in, _test_in, train_lab, _), w_in in zip(per_fold, fold_w):
         e = int(train_in.dec_src.shape[0])
         # Padding edges point at node 0 (gather stays in-bounds) and get
-        # zero loss weight.
+        # zero loss weight.  Folds already padded by the loader carry
+        # their own validity weights.
         src = _pad_1d(np.asarray(train_in.dec_src), e_pad)
         dst = _pad_1d(np.asarray(train_in.dec_dst), e_pad)
         stacked_inputs.append(dataclasses.replace(
             train_in, dec_src=jnp.asarray(src), dec_dst=jnp.asarray(dst)))
         labels.append(_pad_1d(np.asarray(train_lab), e_pad))
         w = np.zeros((e_pad,), np.float32)
-        w[:e] = 1.0
+        w[:e] = 1.0 if w_in is None else np.asarray(w_in)[:e]
         weights.append(w)
 
     inputs = jax.tree.map(lambda *xs: jnp.stack(xs), *stacked_inputs)

@@ -83,6 +83,8 @@ def train_fold(dataset: DreamDataset, cv: int, cfg: TrainConfig,
 
     train_inputs, test_inputs, train_labels, test_labels = fold_inputs(
         dataset, cv)
+    fold_data = dataset.fold(cv)
+    train_w, test_w = fold_data.train_w, fold_data.test_w
 
     k_params, k_state = jax.random.split(seed_key)
     params = init_params(k_params, model_cfg)
@@ -124,14 +126,15 @@ def train_fold(dataset: DreamDataset, cv: int, cfg: TrainConfig,
         if chunk != cfg.train_valid_interval:
             # Trailing partial chunk: reference never evals there.
             state, losses = run_steps(state, train_inputs, train_labels,
-                                      chunk)
+                                      chunk, train_w)
             jax.block_until_ready(losses)
             timer.stop(chunk)
             done += chunk
             break
         # One fused dispatch: train chunk + train eval + test eval.
         state, metrics = run_interval(state, train_inputs, train_labels,
-                                      test_inputs, test_labels, chunk)
+                                      test_inputs, test_labels, chunk,
+                                      train_w, test_w)
         loss, tr_auroc, tr_aupr, te_auroc, te_aupr = [
             float(x) for x in jax.device_get(metrics)]
         timer.stop(chunk)

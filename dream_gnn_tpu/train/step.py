@@ -24,7 +24,8 @@ from dream_gnn_tpu.config import ModelConfig, TrainConfig
 from dream_gnn_tpu.model.dream_gnn import ModelInputs, forward
 from dream_gnn_tpu.train.losses import total_loss
 from dream_gnn_tpu.train.optim import make_optimizer
-from dream_gnn_tpu.utils.metrics import aupr, auroc
+from dream_gnn_tpu.utils.metrics import (aupr, aupr_masked, auroc,
+                                         auroc_masked)
 
 
 @jax.tree_util.register_dataclass
@@ -95,10 +96,10 @@ def make_train_fns(model_cfg: ModelConfig, train_cfg: TrainConfig):
 
     @partial(jax.jit, static_argnames=("n_steps",), donate_argnums=(0,))
     def run_steps(state: TrainState, inputs: ModelInputs, labels,
-                  n_steps: int):
+                  n_steps: int, edge_weight=None):
         """Run ``n_steps`` training iterations in one compiled scan."""
         def body(carry, _):
-            return one_step(carry, inputs, labels)
+            return one_step(carry, inputs, labels, edge_weight)
 
         state, losses = jax.lax.scan(body, state, length=n_steps)
         return state, losses
@@ -117,22 +118,36 @@ def make_train_fns(model_cfg: ModelConfig, train_cfg: TrainConfig):
     @partial(jax.jit, static_argnames=("n_steps",), donate_argnums=(0,))
     def run_interval(state: TrainState, train_inputs: ModelInputs,
                      train_labels, test_inputs: ModelInputs, test_labels,
-                     n_steps: int):
+                     n_steps: int, train_w=None, test_w=None):
         """One eval interval as a SINGLE dispatch: n training steps +
         train-set eval + test-set eval.  Through a relayed TPU each
         dispatch costs hundreds of ms of latency; the reference-cadence
         protocol makes 72 evals per fold, so fusing the interval
-        roughly triples end-to-end protocol throughput."""
+        roughly triples end-to-end protocol throughput.
+
+        ``train_w``/``test_w``: 1/0 validity weights for padded fold
+        edge lists (weighted loss, masked metrics) — folds then share
+        one compiled shape.
+        """
         state, losses = jax.lax.scan(
-            lambda c, _: one_step(c, train_inputs, train_labels),
+            lambda c, _: one_step(c, train_inputs, train_labels, train_w),
             state, length=n_steps)
         tr_pred, *_ = forward(state.params, train_inputs, model_cfg,
                               train=False)
         te_pred, *_ = forward(state.params, test_inputs, model_cfg,
                               train=False)
+
+        def _roc(y, p, w):
+            return auroc(y, p) if w is None else auroc_masked(y, p, w)
+
+        def _pr(y, p, w):
+            return aupr(y, p) if w is None else aupr_masked(y, p, w)
+
         metrics = (losses[-1],
-                   auroc(train_labels, tr_pred), aupr(train_labels, tr_pred),
-                   auroc(test_labels, te_pred), aupr(test_labels, te_pred))
+                   _roc(train_labels, tr_pred, train_w),
+                   _pr(train_labels, tr_pred, train_w),
+                   _roc(test_labels, te_pred, test_w),
+                   _pr(test_labels, te_pred, test_w))
         return state, metrics
 
     return init_state, run_steps, evaluate, run_interval

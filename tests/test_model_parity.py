@@ -25,7 +25,7 @@ from dream_gnn_tpu.config import TrainConfig
 @pytest.fixture(scope="module")
 def small_setup():
     raw = synthetic_raw_data(n_drug=37, n_dis=23, n_pos=80, seed=7)
-    dataset = DreamDataset(raw, k=4)
+    dataset = DreamDataset(raw, k=4, pad_folds=False)
     cfg = TrainConfig()
     model_cfg = dataclasses.replace(
         derive_model_cfg(cfg, dataset),

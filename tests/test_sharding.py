@@ -20,7 +20,7 @@ from dream_gnn_tpu.train.loop import derive_model_cfg
 @pytest.fixture(scope="module")
 def setup():
     raw = synthetic_raw_data(n_drug=24, n_dis=16, n_pos=48, seed=1)
-    dataset = DreamDataset(raw, k=3)
+    dataset = DreamDataset(raw, k=3, pad_folds=False)
     model = ModelConfig(layers=2, gcn_agg_units=24, gcn_out_units=8,
                         nhid1=16, nhid2=8)
     cfg = TrainConfig(model=model)
