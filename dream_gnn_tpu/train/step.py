@@ -105,15 +105,19 @@ def make_train_fns(model_cfg: ModelConfig, train_cfg: TrainConfig):
         return state, losses
 
     @jax.jit
-    def evaluate(params, inputs: ModelInputs, labels):
+    def evaluate(params, inputs: ModelInputs, labels, w=None):
         """Eval forward (dropout elided) + on-device AUROC/AUPR.
 
         Parity trap §7.3.1: the caller chooses ``inputs.enc_graph`` —
         test-set evaluation runs the encoder on the *test* encoder
         graph, exactly like evaluation.py:32-34 + train.py:203-204.
+        ``w``: 1/0 validity weights for padded edge lists.
         """
         pred, *_ = forward(params, inputs, model_cfg, train=False)
-        return auroc(labels, pred), aupr(labels, pred), pred
+        if w is None:
+            return auroc(labels, pred), aupr(labels, pred), pred
+        return (auroc_masked(labels, pred, w),
+                aupr_masked(labels, pred, w), pred)
 
     @partial(jax.jit, static_argnames=("n_steps",), donate_argnums=(0,))
     def run_interval(state: TrainState, train_inputs: ModelInputs,

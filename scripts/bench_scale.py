@@ -38,9 +38,22 @@ def main():
         n_edges = 10_000_000
     feat_dim = 128
 
-    print(f"building {n_drug}x{n_dis} graph, {n_edges} edges...",
-          flush=True)
-    graph = synthetic_bipartite_coo(n_drug, n_dis, n_edges, seed=0)
+    grouped = "--grouped" in sys.argv
+    print(f"building {n_drug}x{n_dis} graph, {n_edges} edges"
+          f" (grouped={grouped})...", flush=True)
+    if grouped:
+        import numpy as _np
+
+        from dream_gnn_tpu.graph.grouped import build_enc_graph_grouped
+
+        rng0 = _np.random.default_rng(0)
+        dr = rng0.integers(0, n_drug, n_edges)
+        di = rng0.integers(0, n_dis, n_edges)
+        vals = (rng0.random(n_edges) < 0.3).astype(_np.float32)
+        graph = build_enc_graph_grouped(_np.stack([dr, di]), vals,
+                                        n_drug, n_dis)
+    else:
+        graph = synthetic_bipartite_coo(n_drug, n_dis, n_edges, seed=0)
 
     rng = np.random.default_rng(1)
     drug_feat = jnp.asarray(rng.normal(size=(n_drug, feat_dim))
@@ -69,7 +82,11 @@ def main():
         src_in_units=feat_dim, dst_in_units=feat_dim,
         fdim_drug=feat_dim, fdim_disease=feat_dim,
         nhid1=256, nhid2=128, compute_dtype="bfloat16")
-    cfg = TrainConfig(model=model, beta=0.0)   # NxN grams infeasible
+    import dataclasses as _dc
+
+    from dream_gnn_tpu.config import AugmentConfig
+    cfg = TrainConfig(model=model, beta=0.0,   # NxN grams infeasible
+                      augment=AugmentConfig(methods=()))
 
     inputs = ModelInputs(
         enc_graph=graph, dec_src=dec_src, dec_dst=dec_dst,
