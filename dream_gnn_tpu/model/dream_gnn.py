@@ -51,6 +51,13 @@ class ModelInputs:
 
 
 def init_params(key, cfg: ModelConfig):
+    if cfg.gcn_agg_accum != "sum":
+        # 'stack' is incoherent in the reference itself (its (N, R, eff)
+        # stack cannot feed Linear(eff, out); see nn/gcmc.py docstring)
+        # and the default is 'sum' — reject loudly instead of silently
+        # summing.
+        raise NotImplementedError(
+            f"gcn_agg_accum={cfg.gcn_agg_accum!r}: only 'sum' is supported")
     n_layers = cfg.layers
     keys = jax.random.split(key, n_layers + 3)
     tgcn = []
