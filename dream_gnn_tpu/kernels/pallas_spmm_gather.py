@@ -89,7 +89,10 @@ def _spmm_gather_raw(g: GroupedCoo, x: jnp.ndarray,
     d = x.shape[1]
     x_pad = x if x.shape[0] == g.n_src_pad else jnp.pad(
         x, ((0, g.n_src_pad - x.shape[0]), (0, 0)))
-    xt = x_pad.T.astype(dtype)                     # (d, n_src_pad)
+    # Panels stay fp32: tpu.dynamic_gather requires the data bitwidth to
+    # match the (int32) index bitwidth. ``dtype`` applies to the scatter
+    # matmul operands only.
+    xt = x_pad.T.astype(jnp.float32)               # (d, n_src_pad)
 
     edge_spec = pl.BlockSpec((1, GROUPS_PER_CHUNK, SUB),
                              lambda i, *_: (i, 0, 0),
@@ -107,7 +110,7 @@ def _spmm_gather_raw(g: GroupedCoo, x: jnp.ndarray,
                                    lambda i, st, dt, first: (0, dt[i]),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((2, d, SUB), dtype),
+                pltpu.VMEM((2, d, SUB), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
