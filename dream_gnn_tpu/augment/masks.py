@@ -89,6 +89,39 @@ def edge_dropout_masks_coo(key, graph, rate: float) -> Dict[str, jnp.ndarray]:
     }
 
 
+def prf_keep_mask(salt: jnp.ndarray, edge_id: jnp.ndarray,
+                  rate: float) -> jnp.ndarray:
+    """Stateless per-edge keep mask: a pure function of (salt, edge_id).
+
+    Used by the grouped-gather layout, where each physical edge occupies
+    different slots in the forward and transposed layouts — a mask that
+    depends only on the edge id stays consistent across both, keeping
+    the custom-VJP gradient exact.  Padding slots (edge_id == n_edges)
+    also get a deterministic value; their val is 0 anyway.
+
+    The PRF is a murmur3-style integer finaliser — not crypto, ample
+    for dropout.
+    """
+    x = edge_id.astype(jnp.uint32) ^ salt.astype(jnp.uint32)
+    x = (x ^ (x >> 16)) * jnp.uint32(0x85EBCA6B)
+    x = (x ^ (x >> 13)) * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    u = x.astype(jnp.float32) * (1.0 / 4294967296.0)
+    return (u >= rate).astype(jnp.float32)
+
+
+def edge_dropout_masks_grouped(key, graph, rate: float):
+    """Per-relation salts for PRF edge dropout on a BipartiteGrouped
+    encoder graph.  Forward/reverse relations drop independent sets
+    (matching augmentation.py:35-62); rate rides along for the apply
+    site in nn/gcmc.py."""
+    r = graph.num_ratings
+    salts = jax.random.randint(key, (2, r), 0, jnp.iinfo(jnp.int32).max,
+                               dtype=jnp.int32).astype(jnp.uint32)
+    return {"fwd_salts": salts[0], "rev_salts": salts[1],
+            "rate": rate, "kind": "grouped_prf"}
+
+
 def sparse_edge_dropout(key, adj, rate: float):
     """Drop entries of a similarity adjacency (any layout).
 
@@ -157,10 +190,16 @@ def augment_inputs(key, inputs, cfg: AugmentConfig, num_ratings: int = 2):
 
     for method in cfg.methods:
         if method == "edge_dropout":
+            from dream_gnn_tpu.graph.grouped import BipartiteGrouped
+
             if isinstance(inputs.enc_graph, BipartiteGraph):
                 edge_masks = edge_dropout_masks(
                     keys[next(ki)], inputs.enc_graph.n_drug,
                     inputs.enc_graph.n_dis, num_ratings,
+                    cfg.edge_dropout_rate)
+            elif isinstance(inputs.enc_graph, BipartiteGrouped):
+                edge_masks = edge_dropout_masks_grouped(
+                    keys[next(ki)], inputs.enc_graph,
                     cfg.edge_dropout_rate)
             else:
                 edge_masks = edge_dropout_masks_coo(

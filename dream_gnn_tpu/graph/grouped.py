@@ -35,6 +35,12 @@ class GroupedCoo:
     subtile: jnp.ndarray      # (C * G,) int32 — src sub-tile per group
     dst_tile: jnp.ndarray     # (C,) int32
     first_of_dst: jnp.ndarray  # (C,) int32
+    edge_id: jnp.ndarray      # (C, G, 128) int32 — physical edge index
+    #                           (order of the live input edges; padding
+    #                           slots get n_edges).  The fwd and bwd
+    #                           layouts of a pair share this indexing,
+    #                           so per-edge masks (augmentation) can be
+    #                           applied consistently to both.
     n_src: int = dataclasses.field(metadata=dict(static=True))
     n_dst: int = dataclasses.field(metadata=dict(static=True))
 
@@ -58,12 +64,13 @@ def grouped_from_arrays(src, dst, val, n_src: int,
     val = np.asarray(val, np.float32)
     live = val != 0
     src, dst, val = src[live], dst[live], val[live]
+    phys = np.arange(len(src), dtype=np.int64)   # live-edge indexing
 
     st = src // SUB
     dt = dst // TILE_DST_G
     order = np.lexsort((st, dt))
-    src, dst, val, st, dt = (src[order], dst[order], val[order],
-                             st[order], dt[order])
+    src, dst, val, st, dt, phys = (src[order], dst[order], val[order],
+                                   st[order], dt[order], phys[order])
     n = len(src)
 
     # Group starts: block changes or every SUB edges.
@@ -98,6 +105,7 @@ def grouped_from_arrays(src, dst, val, n_src: int,
     g_src = np.zeros((c, GROUPS_PER_CHUNK, SUB), np.int32)
     g_dst = np.zeros((c, GROUPS_PER_CHUNK, SUB), np.int32)
     g_val = np.zeros((c, GROUPS_PER_CHUNK, SUB), np.float32)
+    g_eid = np.full((c, GROUPS_PER_CHUNK, SUB), n, np.int32)
     g_sub = np.zeros((c * GROUPS_PER_CHUNK,), np.int32)
     c_dt = np.zeros((c,), np.int32)
     for ci, (t, gs) in enumerate(chunks):
@@ -108,6 +116,7 @@ def grouped_from_arrays(src, dst, val, n_src: int,
             g_src[ci, gj, :m] = src[a:b] % SUB
             g_dst[ci, gj, :m] = dst[a:b] % TILE_DST_G
             g_val[ci, gj, :m] = val[a:b]
+            g_eid[ci, gj, :m] = phys[a:b]
             g_sub[ci * GROUPS_PER_CHUNK + gj] = st[a]
     first = np.concatenate([[1], (c_dt[1:] != c_dt[:-1]).astype(np.int32)])
 
@@ -115,7 +124,7 @@ def grouped_from_arrays(src, dst, val, n_src: int,
         src_local=jnp.asarray(g_src), dst_local=jnp.asarray(g_dst),
         val=jnp.asarray(g_val), subtile=jnp.asarray(g_sub),
         dst_tile=jnp.asarray(c_dt), first_of_dst=jnp.asarray(first),
-        n_src=n_src, n_dst=n_dst)
+        edge_id=jnp.asarray(g_eid), n_src=n_src, n_dst=n_dst)
 
 
 @jax.tree_util.register_dataclass

@@ -134,15 +134,38 @@ def gcmc_layer_apply(params, graph: BipartiteGraph,
             from dream_gnn_tpu.graph.grouped import BipartiteGrouped
 
             if isinstance(graph, BipartiteGrouped):
-                # Scale path: grouped-gather Pallas SpMM.  Edge masks
-                # would need the fwd->bwd slot permutation to keep the
-                # custom VJP consistent — not wired yet.
-                assert edge_masks is None, \
-                    "edge masks unsupported on the grouped layout"
+                # Scale path: grouped-gather Pallas SpMM.  Edge-dropout
+                # masks are a PRF of the physical edge id, so the fwd
+                # and transposed layouts of each relation see the SAME
+                # drops and the custom VJP stays exact.
                 from dream_gnn_tpu.kernels.pallas_spmm_gather import \
                     spmm_gather
-                msg_dis = msg_dis + spmm_gather(graph.fwd[r], hd * cj_d)
-                msg_drug = msg_drug + spmm_gather(graph.rev[r], hv * cj_v)
+
+                g_f, g_r = graph.fwd[r], graph.rev[r]
+                if edge_masks is not None:
+                    assert edge_masks.get("kind") == "grouped_prf", \
+                        "grouped layout needs PRF edge masks"
+                    import dataclasses as _dc
+
+                    from dream_gnn_tpu.augment.masks import prf_keep_mask
+                    rate = edge_masks["rate"]
+
+                    def _mask_pair(pair, salt):
+                        return _dc.replace(
+                            pair,
+                            fwd=_dc.replace(pair.fwd, val=pair.fwd.val *
+                                            prf_keep_mask(salt,
+                                                          pair.fwd.edge_id,
+                                                          rate)),
+                            bwd=_dc.replace(pair.bwd, val=pair.bwd.val *
+                                            prf_keep_mask(salt,
+                                                          pair.bwd.edge_id,
+                                                          rate)))
+
+                    g_f = _mask_pair(g_f, edge_masks["fwd_salts"][r])
+                    g_r = _mask_pair(g_r, edge_masks["rev_salts"][r])
+                msg_dis = msg_dis + spmm_gather(g_f, hd * cj_d)
+                msg_drug = msg_drug + spmm_gather(g_r, hv * cj_v)
             else:
                 # Sparse COO layout: edge dropout masks are per edge.
                 g_f: CooGraph = graph.fwd[r]

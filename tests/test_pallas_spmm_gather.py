@@ -104,3 +104,78 @@ def test_grouped_enc_graph_forward(rng):
     for a, b in zip(dense_out, grouped_out):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=5e-2, atol=5e-3)
+
+
+def test_prf_masked_grouped_matches_dense(rng):
+    """PRF edge dropout on the grouped layout: fwd AND grad match the
+    dense computation with the same physical mask."""
+    from dream_gnn_tpu.augment.masks import prf_keep_mask
+
+    n_dst, n_src, n_edges = 400, 300, 2000
+    src, dst, val = _rand_edges(rng, n_dst, n_src, n_edges)
+    pair = grouped_pair_from_arrays(src, dst, val, n_src, n_dst)
+
+    salt = jnp.asarray(12345, jnp.uint32)
+    rate = 0.4
+    mask = np.asarray(prf_keep_mask(salt, jnp.arange(n_edges), rate))
+    a = np.zeros((n_dst, n_src), np.float32)
+    np.add.at(a, (dst, src), val * mask)
+
+    import dataclasses as dc
+    mp = dc.replace(
+        pair,
+        fwd=dc.replace(pair.fwd, val=pair.fwd.val * prf_keep_mask(
+            salt, pair.fwd.edge_id, rate)),
+        bwd=dc.replace(pair.bwd, val=pair.bwd.val * prf_keep_mask(
+            salt, pair.bwd.edge_id, rate)))
+
+    x = jnp.asarray(rng.normal(size=(n_src, 128)).astype(np.float32))
+    out = np.asarray(psg.spmm_gather(mp, x, jnp.float32))
+    np.testing.assert_allclose(out, a @ np.asarray(x), rtol=1e-4,
+                               atol=1e-4)
+    # masking actually dropped ~rate of edges
+    assert abs(mask.mean() - (1 - rate)) < 0.05
+
+    grad = jax.grad(lambda x: jnp.sum(
+        psg.spmm_gather(mp, x, jnp.float32) ** 2))(x)
+    expected = 2.0 * a.T @ (a @ np.asarray(x))
+    np.testing.assert_allclose(np.asarray(grad), expected, rtol=1e-3,
+                               atol=1e-3)
+
+
+def test_grouped_train_step_with_augmentation(rng):
+    """Full train step on the grouped layout with default augmentation
+    (edge_dropout via PRF masks + feature noise)."""
+    import dataclasses as dc
+
+    from dream_gnn_tpu.config import TrainConfig
+    from dream_gnn_tpu.data.loader import DreamDataset
+    from dream_gnn_tpu.data.synthetic import synthetic_raw_data
+    from dream_gnn_tpu.graph.grouped import build_enc_graph_grouped
+    from dream_gnn_tpu.model.dream_gnn import init_params
+    from dream_gnn_tpu.train.loop import derive_model_cfg, fold_inputs
+    from dream_gnn_tpu.train.optim import make_optimizer
+    from dream_gnn_tpu.train.step import TrainState, make_one_step
+
+    raw = synthetic_raw_data(n_drug=30, n_dis=22, n_pos=60, seed=5)
+    dataset = DreamDataset(raw, k=3)
+    cfg = TrainConfig()
+    model_cfg = dc.replace(derive_model_cfg(cfg, dataset),
+                           layers=2, gcn_agg_units=48, gcn_out_units=16,
+                           nhid1=24, nhid2=16)
+    inputs, _, labels, _ = fold_inputs(dataset, 0)
+    split = dataset.splits[0]
+    grouped = build_enc_graph_grouped(split.train_pairs,
+                                      split.train_values,
+                                      dataset.n_drug, dataset.n_dis)
+    g_inputs = dc.replace(inputs, enc_graph=grouped)
+
+    tx = make_optimizer(cfg.train_grad_clip, cfg.weight_decay)
+    one_step = make_one_step(model_cfg, cfg, tx)
+    params = init_params(jax.random.key(0), model_cfg)
+    state = TrainState(params=params, opt_state=tx.init(params),
+                       key=jax.random.key(1),
+                       lr=jnp.asarray(cfg.train_lr))
+    w = dataset.fold(0).train_w
+    state, loss = jax.jit(one_step)(state, g_inputs, labels, w)
+    assert np.isfinite(float(loss))
