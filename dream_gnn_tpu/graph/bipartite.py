@@ -25,6 +25,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from dream_gnn_tpu.graph.norms import inv_sqrt_norm
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
@@ -63,15 +65,6 @@ class BipartiteGraph:
         return 2.0 * jnp.sum(self.mask)
 
 
-def _inv_sqrt_degree(deg: np.ndarray) -> np.ndarray:
-    """1/sqrt(deg) with zero degree mapped to 0 (data_loader.py:454-457)."""
-    deg = deg.astype(np.float32)
-    out = np.zeros_like(deg)
-    nz = deg > 0
-    out[nz] = 1.0 / np.sqrt(deg[nz])
-    return out
-
-
 def build_enc_graph(pairs: np.ndarray, values: np.ndarray,
                     n_drug: int, n_dis: int, symm: bool = True,
                     dtype=np.float32) -> BipartiteGraph:
@@ -96,8 +89,8 @@ def build_enc_graph(pairs: np.ndarray, values: np.ndarray,
 
     deg_drug = mask.sum(axis=1)
     deg_dis = mask.sum(axis=0)
-    ci_drug = _inv_sqrt_degree(deg_drug)[:, None]
-    ci_dis = _inv_sqrt_degree(deg_dis)[:, None]
+    ci_drug = inv_sqrt_norm(deg_drug)
+    ci_dis = inv_sqrt_norm(deg_dis)
     if symm:
         cj_drug, cj_dis = ci_drug, ci_dis
     else:

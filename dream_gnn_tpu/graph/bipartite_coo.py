@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dream_gnn_tpu.graph.coo import coo_from_arrays
+from dream_gnn_tpu.graph.norms import inv_sqrt_norm
 
 
 @jax.tree_util.register_dataclass
@@ -56,13 +57,6 @@ class BipartiteCoo:
                      + sum(int((g.val != 0).sum()) for g in self.rev))
 
 
-def _inv_sqrt(deg: np.ndarray) -> np.ndarray:
-    out = np.zeros_like(deg, np.float32)
-    nz = deg > 0
-    out[nz] = 1.0 / np.sqrt(deg[nz])
-    return out[:, None]
-
-
 def build_enc_graph_coo(pairs: np.ndarray, values: np.ndarray,
                         n_drug: int, n_dis: int, symm: bool = True,
                         ratings: Sequence[int] = (0, 1),
@@ -82,8 +76,8 @@ def build_enc_graph_coo(pairs: np.ndarray, values: np.ndarray,
 
     deg_drug = np.bincount(pairs[0], minlength=n_drug).astype(np.float32)
     deg_dis = np.bincount(pairs[1], minlength=n_dis).astype(np.float32)
-    ci_drug = jnp.asarray(_inv_sqrt(deg_drug))
-    ci_dis = jnp.asarray(_inv_sqrt(deg_dis))
+    ci_drug = jnp.asarray(inv_sqrt_norm(deg_drug))
+    ci_dis = jnp.asarray(inv_sqrt_norm(deg_dis))
     if symm:
         cj_drug, cj_dis = ci_drug, ci_dis
     else:

@@ -104,8 +104,6 @@ def blocked_from_arrays(src: np.ndarray, dst: np.ndarray, val: np.ndarray,
                       np.concatenate([block_starts[1:], [len(src)]])):
         starts.extend(range(b0, b1, EDGE_CHUNK))
     starts = np.asarray(starts, np.int64)
-    ends = np.concatenate([starts[1:], [len(src)]])
-    ends = np.minimum(ends, starts + EDGE_CHUNK)
 
     n_real = len(starts) if len(src) else 0
     # Every dst tile needs at least one chunk: the kernel zeroes an

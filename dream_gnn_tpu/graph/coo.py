@@ -61,9 +61,13 @@ def coo_from_arrays(src: np.ndarray, dst: np.ndarray, val: np.ndarray,
     budget = pad_to if pad_to is not None else -(-max(e, 1) // pad_multiple) * pad_multiple
     if e > budget:
         raise ValueError(f"edge count {e} exceeds pad budget {budget}")
+    # Pad dst with the LAST segment id so the array stays sorted —
+    # spmm_coo passes indices_are_sorted=True and a violated hint is
+    # implementation-defined scatter behaviour.  Pad val is 0, so the
+    # extra contributions vanish.
     return CooGraph(
         src=jnp.asarray(_pad_to(src, budget)),
-        dst=jnp.asarray(_pad_to(dst, budget)),
+        dst=jnp.asarray(_pad_to(dst, budget, fill=n_dst - 1)),
         val=jnp.asarray(_pad_to(val, budget)),
         n_src=n_src, n_dst=n_dst)
 

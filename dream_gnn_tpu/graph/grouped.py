@@ -177,17 +177,12 @@ def build_enc_graph_grouped(pairs, values, n_drug: int, n_dis: int,
         fwd.append(grouped_pair_from_arrays(dr, di, ones, n_drug, n_dis))
         rev.append(grouped_pair_from_arrays(di, dr, ones, n_dis, n_drug))
 
+    from dream_gnn_tpu.graph.norms import inv_sqrt_norm
+
     deg_drug = np.bincount(pairs[0], minlength=n_drug).astype(np.float32)
     deg_dis = np.bincount(pairs[1], minlength=n_dis).astype(np.float32)
-
-    def _inv_sqrt(deg):
-        out = np.zeros_like(deg, np.float32)
-        nz = deg > 0
-        out[nz] = 1.0 / np.sqrt(deg[nz])
-        return jnp.asarray(out[:, None])
-
-    ci_drug = _inv_sqrt(deg_drug)
-    ci_dis = _inv_sqrt(deg_dis)
+    ci_drug = jnp.asarray(inv_sqrt_norm(deg_drug))
+    ci_dis = jnp.asarray(inv_sqrt_norm(deg_dis))
     cj_drug = ci_drug if symm else jnp.ones((n_drug, 1), jnp.float32)
     cj_dis = ci_dis if symm else jnp.ones((n_dis, 1), jnp.float32)
     return BipartiteGrouped(fwd=tuple(fwd), rev=tuple(rev),

@@ -49,6 +49,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from dream_gnn_tpu.kernels.common import onehot3 as _onehot3
 
 TILE = 1024          # edges per grid step
 _LANE = 128
@@ -62,16 +63,18 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _dropout_mask(shape, rate: float):
-    """Keep-mask from the on-core PRNG (already seeded)."""
-    bits = pltpu.prng_random_bits(shape)
-    u = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
-    return (u >= rate).astype(jnp.float32) / (1.0 - rate)
+    """Keep-mask from the on-core PRNG (already seeded).
 
+    prng_random_bits yields int32 — bitcast to uint32 BEFORE shifting
+    (an arithmetic shift on the signed value would put u in [-0.5, 0.5)
+    and silently halve the keep probability).
+    """
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    # Compare in the integer domain: Mosaic cannot cast uint32->f32.
+    # P(bits >= rate * 2^32) == 1 - rate.
+    thresh = jnp.uint32(min(max(rate, 0.0), 1.0) * 4294967295.0)
+    return (bits >= thresh).astype(jnp.float32) / (1.0 - rate)
 
-def _onehot3(ids, n, dtype):
-    """(R, 128) ids -> (R, 128, n) one-hot."""
-    iota = jax.lax.broadcasted_iota(jnp.int32, ids.shape + (n,), 2)
-    return (ids[:, :, None] == iota).astype(dtype)
 
 
 def _row_forward(r, p_src, p_dst, pd, pv, b1_ref, w2_ref, b2_ref,
@@ -295,6 +298,12 @@ def decoder_apply_fused(params, edge_src, edge_dst, drug_feat, dis_feat, *,
     Dropout uses the on-core hardware PRNG keyed by a seed derived from
     ``key`` — same distribution as the XLA path, different stream.
     """
+    n_nodes = max(drug_feat.shape[0], dis_feat.shape[0])
+    if n_nodes > MAX_ONEHOT_NODES:
+        raise ValueError(
+            f"fused decoder: {n_nodes} nodes exceeds MAX_ONEHOT_NODES="
+            f"{MAX_ONEHOT_NODES} (the one-hot gather tiles and VMEM node "
+            f"tables scale with node count) — use decoder_backend='xla'")
     d = drug_feat.shape[1]
     proj_drug = jnp.dot(drug_feat.astype(dtype), params["w1"][:d].astype(dtype),
                         preferred_element_type=jnp.float32)

@@ -50,16 +50,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from dream_gnn_tpu.graph.blocked import (BlockedCoo, BlockedCooPair,
                                          EDGE_CHUNK, TILE_DST, TILE_SRC)
+from dream_gnn_tpu.kernels.common import onehot3 as _onehot3
 
 INTERPRET = False
 _LANE = 128
 _ROWS = EDGE_CHUNK // _LANE
 
-
-def _onehot3(ids, n, dtype):
-    """(R, 128) ids -> (R, 128, n) one-hot."""
-    iota = jax.lax.broadcasted_iota(jnp.int32, ids.shape + (n,), 2)
-    return (ids[:, :, None] == iota).astype(dtype)
 
 
 def _spmm_kernel(src_tile_ref, dst_tile_ref, first_ref,

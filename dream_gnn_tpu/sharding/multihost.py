@@ -36,16 +36,27 @@ def initialize(coordinator_address: Optional[str] = None,
     them explicitly for other fabrics.  Safe to call once per process
     before any backend use.
     """
-    if jax.process_count() > 1:
+    import os
+
+    # Do NOT touch jax.process_count()/devices() here: any backend use
+    # initialises XLA and makes distributed.initialize() unusable.
+    # Check the distributed client state directly instead.
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
         return  # already initialised
-    try:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes, process_id=process_id)
-    except (RuntimeError, ValueError):
-        # Single-process environment (tests, one-host runs): the
-        # un-initialised default is exactly right.
-        pass
+    multi_host_env = any(os.environ.get(v) for v in (
+        "COORDINATOR_ADDRESS", "MEGASCALE_COORDINATOR_ADDRESS",
+        "JAX_COORDINATOR_ADDRESS")) or \
+        "," in os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    if coordinator_address is None and not multi_host_env:
+        # No multi-host environment configured (a single-entry
+        # TPU_WORKER_HOSTNAMES means one host): tests and one-host
+        # training keep the un-initialised default.
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes, process_id=process_id)
 
 
 def global_mesh(mp: int = 1, dp: Optional[int] = None):

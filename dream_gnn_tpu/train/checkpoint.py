@@ -33,13 +33,20 @@ def load_pytree(path: str):
     return jax.tree.unflatten(treedef, leaves)
 
 
-def save_train_state(path: str, state, step: int) -> None:
-    """Checkpoint a TrainState (params + opt state + PRNG key + lr).
+def save_train_state(path: str, state, step: int,
+                     scheduler=None) -> None:
+    """Checkpoint a TrainState (params + opt state + PRNG key + lr)
+    plus, when given, the host-side plateau scheduler's (lr, best,
+    num_bad) — without it a resumed run would silently reset the LR
+    schedule.
 
     PRNG keys are extended-dtype arrays; they are stored as raw key
     data plus the impl name and re-wrapped on load.
     """
     impl = str(jax.random.key_impl(state.key))
+    sched = (np.asarray([scheduler.lr, scheduler.best,
+                         float(scheduler.num_bad)])
+             if scheduler is not None else np.zeros(0))
     save_pytree(path, {
         "params": state.params,
         "opt_state": state.opt_state,
@@ -47,11 +54,13 @@ def save_train_state(path: str, state, step: int) -> None:
         "key_data": jax.random.key_data(state.key),
         "impl": np.frombuffer(impl.encode(), np.uint8),
         "step": np.asarray(step),
+        "scheduler": sched,
     })
 
 
-def load_train_state(path: str, template):
-    """Restore (TrainState, step) from ``save_train_state`` output.
+def load_train_state(path: str, template, scheduler=None):
+    """Restore (TrainState, step) from ``save_train_state`` output;
+    also restores ``scheduler`` in place when it was checkpointed.
 
     ``template`` supplies the dataclass type; leaves are replaced.
     """
@@ -67,4 +76,9 @@ def load_train_state(path: str, template):
         opt_state=jax.tree.map(jax.numpy.asarray, data["opt_state"]),
         key=key,
         lr=jax.numpy.asarray(data["lr"]))
+    sched = data.get("scheduler")
+    if scheduler is not None and sched is not None and sched.size == 3:
+        scheduler.lr = float(sched[0])
+        scheduler.best = float(sched[1])
+        scheduler.num_bad = int(sched[2])
     return state, int(data["step"])

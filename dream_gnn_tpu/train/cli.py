@@ -33,7 +33,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--train_max_iter", type=int, default=18000)
     p.add_argument("--train_grad_clip", type=float, default=1.0)
     p.add_argument("--train_valid_interval", type=int, default=250)
-    p.add_argument("--gcn_agg_norm_symm", type=bool, default=True)
+    # NOTE: the reference uses type=bool here (train.py:416), which makes
+    # any explicit value truthy; use a real str->bool so symm=False is
+    # reachable from the CLI.
+    p.add_argument("--gcn_agg_norm_symm",
+                   type=lambda s: s.lower() not in ("false", "0", "no"),
+                   default=True)
     p.add_argument("--nhid1", type=int, default=768)
     p.add_argument("--nhid2", type=int, default=128)
     p.add_argument("--train_lr", type=float, default=0.002)
@@ -131,7 +136,8 @@ def main(argv=None):
     cfg = config_from_args(args)
     print(args)
     dataset = resolve_dataset(args, cfg)
-    return run_experiments(dataset, cfg, seeds=args.seeds, folds=args.folds)
+    return run_experiments(dataset, cfg, seeds=args.seeds, folds=args.folds,
+                           profile_dir=args.profile_dir)
 
 
 if __name__ == "__main__":

@@ -24,13 +24,18 @@ from dream_gnn_tpu.train.loop import train_fold
 def run_experiments(dataset: DreamDataset, cfg: TrainConfig, *,
                     seeds: Optional[Sequence[int]] = None,
                     folds: Optional[Sequence[int]] = None,
-                    verbose: bool = True):
-    """Run the full protocol; returns the summary dict."""
+                    verbose: bool = True,
+                    profile_dir: Optional[str] = None):
+    """Run the full protocol; returns the summary dict.
+
+    ``profile_dir``: write a jax.profiler trace of the first fold.
+    """
     seeds = list(seeds if seeds is not None else cfg.seeds)
     folds = list(folds if folds is not None else range(cfg.n_folds))
 
     all_results = []
     train_fns = None
+    first_fold = True
     for exp_idx, seed in enumerate(seeds):
         if verbose:
             print(f"======== Experiment {exp_idx + 1}/{len(seeds)} "
@@ -44,9 +49,13 @@ def run_experiments(dataset: DreamDataset, cfg: TrainConfig, *,
             if verbose:
                 print(f"============== Fold {cv + 1} ==============")
             fold_key = jax.random.fold_in(seed_key, cv)
-            res = train_fold(dataset, cv, cfg, fold_key,
-                             save_dir=exp_dir, save_id=cv + 1,
-                             verbose=verbose, train_fns=train_fns)
+            from dream_gnn_tpu.utils.profiling import trace
+
+            with trace(profile_dir if first_fold else None):
+                res = train_fold(dataset, cv, cfg, fold_key,
+                                 save_dir=exp_dir, save_id=cv + 1,
+                                 verbose=verbose, train_fns=train_fns)
+            first_fold = False
             train_fns = res["train_fns"]
             fold_results.append((res["best_auroc"], res["best_aupr"]))
             if cfg.save_model and cfg.generate_top_predictions \

@@ -90,12 +90,14 @@ def train_fold(dataset: DreamDataset, cv: int, cfg: TrainConfig,
     params = init_params(k_params, model_cfg)
     state = init_state(params, k_state)
     start_iter = 0
+    plateau = PlateauScheduler(cfg.train_lr, patience=cfg.plateau_patience,
+                               factor=cfg.plateau_factor)
     if resume_from:
         from dream_gnn_tpu.train.checkpoint import load_train_state
 
-        state, start_iter = load_train_state(resume_from, state)
-    plateau = PlateauScheduler(cfg.train_lr, patience=cfg.plateau_patience,
-                               factor=cfg.plateau_factor)
+        # Restores the full TrainState AND the plateau scheduler —
+        # otherwise the first post-resume eval clobbers the decayed lr.
+        state, start_iter = load_train_state(resume_from, state, plateau)
 
     logger = None
     if save_dir:
@@ -165,7 +167,7 @@ def train_fold(dataset: DreamDataset, cv: int, cfg: TrainConfig,
             from dream_gnn_tpu.train.checkpoint import save_train_state
             save_train_state(
                 os.path.join(save_dir, f"ckpt_fold{save_id}.npz"),
-                state, done)
+                state, done, plateau)
 
     elapsed = time.perf_counter() - t0
     if logger:

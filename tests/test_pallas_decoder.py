@@ -76,3 +76,31 @@ def test_padding_correct(setup):
     assert out1.shape == (300,)
     np.testing.assert_allclose(np.asarray(out1)[:100], np.asarray(out2),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_dropout_keep_rate(setup):
+    """Kernel dropout must keep ~(1-rate) of activations with inverted
+    scaling — guards the signed-shift PRNG-bits bug (int32 arithmetic
+    shift halves the keep probability).  TPU-only: interpret mode has
+    no prng_seed lowering (scripts/check_dropout_tpu.py runs this on
+    hardware)."""
+    if jax.default_backend() == "cpu":
+        pytest.skip("pltpu.prng_seed has no CPU interpret lowering")
+    params, drug_feat, dis_feat, src, dst = setup
+    rate = 0.3
+    outs = []
+    for s in range(4):
+        out = pd.decoder_apply_fused(params, src, dst, drug_feat, dis_feat,
+                                     dropout_rate=rate, train=True,
+                                     key=jax.random.key(100 + s),
+                                     dtype=jnp.float32)
+        outs.append(np.asarray(out))
+    ref = np.asarray(pd.decoder_apply_fused(
+        params, src, dst, drug_feat, dis_feat, dropout_rate=0.0,
+        train=False, dtype=jnp.float32))
+    # Inverted dropout is unbiased in expectation at lin3's input; with
+    # relu nonlinearity the means won't match exactly, but with the
+    # keep-rate bug the output scale collapses (~3.5x too small).
+    mean_train = np.mean([np.abs(o).mean() for o in outs])
+    mean_ref = np.abs(ref).mean()
+    assert 0.4 * mean_ref < mean_train < 2.5 * mean_ref
