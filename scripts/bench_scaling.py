@@ -18,6 +18,12 @@ import numpy as np
 
 def main():
     if "--cpu-mesh" in sys.argv:
+        import os
+
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8").strip()
         import jax
 
         jax.config.update("jax_platforms", "cpu")
