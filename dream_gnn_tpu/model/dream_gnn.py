@@ -83,18 +83,16 @@ def init_params(key, cfg: ModelConfig):
     }
 
 
-def forward(params, inputs: ModelInputs, cfg: ModelConfig, *,
-            train: bool = False, key: Optional[jax.Array] = None,
-            edge_masks=None):
-    """Full dual-route forward.
+def _encode(params, inputs: ModelInputs, cfg: ModelConfig, *,
+            train: bool, keys, edge_masks):
+    """Everything up to the decoder: GCMC route, FGCN route, attention
+    fusion.  ``keys`` is the (layers+4,) split of the forward key when
+    training (index layers+3 is reserved for the decoder), else None.
 
-    Returns (pred_logits, drug_out, drug_sim_out, dis_out, dis_sim_out)
-    — the intermediates feed the covariance common loss (train.py:289).
+    Returns (drug_feats, dis_feats, drug_out, drug_sim_out, dis_out,
+    dis_sim_out).
     """
-    if train:
-        assert key is not None
-        keys = jax.random.split(key, cfg.layers + 4)
-    else:
+    if keys is None:
         keys = [None] * (cfg.layers + 4)
 
     drug_feat, dis_feat = inputs.drug_feat, inputs.dis_feat
@@ -124,18 +122,100 @@ def forward(params, inputs: ModelInputs, cfg: ModelConfig, *,
         params["attention"], jnp.stack([dis_out, dis_sim_out], axis=1),
         dropout_rate=cfg.attention_dropout, train=train,
         key=keys[cfg.layers + 2])
+    return drug_feats, dis_feats, drug_out, drug_sim_out, dis_out, dis_sim_out
+
+
+def forward(params, inputs: ModelInputs, cfg: ModelConfig, *,
+            train: bool = False, key: Optional[jax.Array] = None,
+            edge_masks=None):
+    """Full dual-route forward.
+
+    Returns (pred_logits, drug_out, drug_sim_out, dis_out, dis_sim_out)
+    — the intermediates feed the covariance common loss (train.py:289).
+    """
+    if train:
+        assert key is not None
+        keys = jax.random.split(key, cfg.layers + 4)
+    else:
+        keys = None
+
+    (drug_feats, dis_feats, drug_out, drug_sim_out, dis_out,
+     dis_sim_out) = _encode(params, inputs, cfg, train=train, keys=keys,
+                            edge_masks=edge_masks)
+    dec_key = keys[cfg.layers + 3] if train else None
 
     if cfg.decoder_backend == "pallas":
         from dream_gnn_tpu.kernels.pallas_decoder import decoder_apply_fused
         pred = decoder_apply_fused(
             params["decoder"], inputs.dec_src, inputs.dec_dst,
             drug_feats, dis_feats, dropout_rate=cfg.dropout,
-            train=train, key=keys[cfg.layers + 3],
+            train=train, key=dec_key,
             dtype=jnp.dtype(cfg.compute_dtype))
     else:
         pred = decoder_apply(params["decoder"], inputs.dec_src,
                              inputs.dec_dst, drug_feats, dis_feats,
                              dropout_rate=cfg.dropout, train=train,
-                             key=keys[cfg.layers + 3],
+                             key=dec_key,
                              dtype=jnp.dtype(cfg.compute_dtype))
+    return pred, drug_out, drug_sim_out, dis_out, dis_sim_out
+
+
+def forward_stacked(params, inputs: ModelInputs, cfg: ModelConfig, *,
+                    train: bool = False, key: Optional[jax.Array] = None,
+                    edge_masks=None):
+    """Fold-batched forward: every array (params leaves, input leaves,
+    ``key``, ``edge_masks`` leaves) carries a leading fold axis F.
+
+    The encoder runs under ``jax.vmap`` (batched MXU matmuls); the
+    per-edge decoder — which a vmapped pallas_call cannot express —
+    dispatches to the fold-batched fused kernel when the backend is
+    'pallas', else to the vmapped XLA decoder.  PRNG key threading per
+    fold is identical to ``forward`` (same split sizes and indices).
+
+    Returns (pred (F, E), drug_out, drug_sim_out, dis_out, dis_sim_out)
+    with leading fold axes.
+    """
+    if train:
+        assert key is not None
+        keys = jax.vmap(lambda k: jax.random.split(k, cfg.layers + 4))(key)
+        if edge_masks is None:
+            enc = jax.vmap(lambda p, i, k: _encode(
+                p, i, cfg, train=True, keys=k, edge_masks=None))(
+                params, inputs, keys)
+        else:
+            enc = jax.vmap(lambda p, i, k, m: _encode(
+                p, i, cfg, train=True, keys=k, edge_masks=m))(
+                params, inputs, keys, edge_masks)
+        dec_keys = keys[:, cfg.layers + 3]
+    else:
+        enc = jax.vmap(lambda p, i: _encode(
+            p, i, cfg, train=False, keys=None, edge_masks=None))(
+            params, inputs)
+        dec_keys = None
+
+    drug_feats, dis_feats, drug_out, drug_sim_out, dis_out, dis_sim_out = enc
+
+    from dream_gnn_tpu.kernels.pallas_decoder import MAX_ONEHOT_NODES
+    use_pallas = (cfg.decoder_backend == "pallas"
+                  and max(drug_feats.shape[1],
+                          dis_feats.shape[1]) <= MAX_ONEHOT_NODES)
+    if use_pallas:
+        from dream_gnn_tpu.kernels.pallas_decoder_batched import (
+            decoder_apply_fused_batched)
+        pred = decoder_apply_fused_batched(
+            params["decoder"], inputs.dec_src, inputs.dec_dst,
+            drug_feats, dis_feats, dropout_rate=cfg.dropout, train=train,
+            key=dec_keys, dtype=jnp.dtype(cfg.compute_dtype))
+    elif train:
+        pred = jax.vmap(lambda p, s, d, df, vf, k: decoder_apply(
+            p, s, d, df, vf, dropout_rate=cfg.dropout, train=True,
+            key=k, dtype=jnp.dtype(cfg.compute_dtype)))(
+            params["decoder"], inputs.dec_src, inputs.dec_dst,
+            drug_feats, dis_feats, dec_keys)
+    else:
+        pred = jax.vmap(lambda p, s, d, df, vf: decoder_apply(
+            p, s, d, df, vf, dropout_rate=cfg.dropout, train=False,
+            dtype=jnp.dtype(cfg.compute_dtype)))(
+            params["decoder"], inputs.dec_src, inputs.dec_dst,
+            drug_feats, dis_feats)
     return pred, drug_out, drug_sim_out, dis_out, dis_sim_out

@@ -43,17 +43,29 @@ def _pad_1d(x: np.ndarray, n: int, fill=0):
 
 
 def stack_folds(dataset: DreamDataset, folds: Sequence[int],
-                pad_multiple: int = 128) -> StackedFolds:
-    """Stack the *train* side of the given folds."""
+                pad_multiple: int = 128, side: str = "train") -> StackedFolds:
+    """Stack the train (default) or test side of the given folds.
+
+    ``side='test'`` stacks the evaluation inputs: the *test* encoder
+    graph with the test candidate pairs (parity trap SURVEY §7.3.1 —
+    test evaluation runs the encoder on the test enc graph).
+    """
     per_fold = [fold_inputs(dataset, cv) for cv in folds]
-    fold_w = [dataset.fold(cv).train_w for cv in folds]
-    e_max = max(int(t[0].dec_src.shape[0]) for t in per_fold)
+    if side == "train":
+        sel = [(t[0], t[2], dataset.fold(cv).train_w)
+               for t, cv in zip(per_fold, folds)]
+    elif side == "test":
+        sel = [(t[1], t[3], dataset.fold(cv).test_w)
+               for t, cv in zip(per_fold, folds)]
+    else:
+        raise ValueError(f"side must be 'train' or 'test', got {side!r}")
+    e_max = max(int(t[0].dec_src.shape[0]) for t in sel)
     e_pad = -(-e_max // pad_multiple) * pad_multiple
 
     stacked_inputs = []
     labels = []
     weights = []
-    for (train_in, _test_in, train_lab, _), w_in in zip(per_fold, fold_w):
+    for train_in, train_lab, w_in in sel:
         e = int(train_in.dec_src.shape[0])
         # Padding edges point at node 0 (gather stays in-bounds) and get
         # zero loss weight.  Folds already padded by the loader carry

@@ -81,6 +81,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="PRNG implementation for training keys")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="write a jax.profiler trace of the first fold")
+    p.add_argument("--fold_parallel", action="store_true",
+                   help="train all CV folds of a seed simultaneously as "
+                        "one vmapped batch (uses the XLA decoder)")
     return p
 
 
@@ -137,7 +140,8 @@ def main(argv=None):
     print(args)
     dataset = resolve_dataset(args, cfg)
     return run_experiments(dataset, cfg, seeds=args.seeds, folds=args.folds,
-                           profile_dir=args.profile_dir)
+                           profile_dir=args.profile_dir,
+                           fold_parallel=args.fold_parallel)
 
 
 if __name__ == "__main__":

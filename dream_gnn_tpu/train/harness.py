@@ -25,10 +25,15 @@ def run_experiments(dataset: DreamDataset, cfg: TrainConfig, *,
                     seeds: Optional[Sequence[int]] = None,
                     folds: Optional[Sequence[int]] = None,
                     verbose: bool = True,
-                    profile_dir: Optional[str] = None):
+                    profile_dir: Optional[str] = None,
+                    fold_parallel: bool = False):
     """Run the full protocol; returns the summary dict.
 
     ``profile_dir``: write a jax.profiler trace of the first fold.
+    ``fold_parallel``: train every fold of a seed simultaneously as a
+    vmapped batch on one chip (train/stacked.py) — the reference runs
+    folds sequentially (train.py:500); at reference dataset scale the
+    batched step costs barely more than a single-fold step.
     """
     seeds = list(seeds if seeds is not None else cfg.seeds)
     folds = list(folds if folds is not None else range(cfg.n_folds))
@@ -45,27 +50,48 @@ def run_experiments(dataset: DreamDataset, cfg: TrainConfig, *,
         seed_key = jax.random.key(seed, impl=cfg.rng_impl)
 
         fold_results = []
-        for cv in folds:
-            if verbose:
-                print(f"============== Fold {cv + 1} ==============")
-            fold_key = jax.random.fold_in(seed_key, cv)
+        if fold_parallel:
+            from dream_gnn_tpu.train.stacked import train_seed_foldparallel
             from dream_gnn_tpu.utils.profiling import trace
 
             with trace(profile_dir if first_fold else None):
-                res = train_fold(dataset, cv, cfg, fold_key,
-                                 save_dir=exp_dir, save_id=cv + 1,
-                                 verbose=verbose, train_fns=train_fns)
+                results, train_fns = train_seed_foldparallel(
+                    dataset, cfg, seed_key, folds, save_dir=exp_dir,
+                    verbose=verbose, train_fns=train_fns)
             first_fold = False
-            train_fns = res["train_fns"]
-            fold_results.append((res["best_auroc"], res["best_aupr"]))
-            if cfg.save_model and cfg.generate_top_predictions \
-                    and res["best_params"] is not None:
-                get_top_novel_predictions(
-                    res["best_params"], res["model_cfg"], dataset, cv,
-                    top_k=cfg.top_k,
-                    save_path=os.path.join(
-                        exp_dir,
-                        f"top{cfg.top_k}_novel_predictions_fold{cv + 1}.csv"))
+            for cv, res in zip(folds, results):
+                fold_results.append((res["best_auroc"], res["best_aupr"]))
+                if cfg.save_model and cfg.generate_top_predictions \
+                        and res["best_params"] is not None:
+                    get_top_novel_predictions(
+                        res["best_params"], res["model_cfg"], dataset, cv,
+                        top_k=cfg.top_k,
+                        save_path=os.path.join(
+                            exp_dir, f"top{cfg.top_k}_novel_predictions"
+                            f"_fold{cv + 1}.csv"))
+        else:
+            for cv in folds:
+                if verbose:
+                    print(f"============== Fold {cv + 1} ==============")
+                fold_key = jax.random.fold_in(seed_key, cv)
+                from dream_gnn_tpu.utils.profiling import trace
+
+                with trace(profile_dir if first_fold else None):
+                    res = train_fold(dataset, cv, cfg, fold_key,
+                                     save_dir=exp_dir, save_id=cv + 1,
+                                     verbose=verbose, train_fns=train_fns)
+                first_fold = False
+                train_fns = res["train_fns"]
+                fold_results.append((res["best_auroc"], res["best_aupr"]))
+                if cfg.save_model and cfg.generate_top_predictions \
+                        and res["best_params"] is not None:
+                    get_top_novel_predictions(
+                        res["best_params"], res["model_cfg"], dataset, cv,
+                        top_k=cfg.top_k,
+                        save_path=os.path.join(
+                            exp_dir,
+                            f"top{cfg.top_k}_novel_predictions"
+                            f"_fold{cv + 1}.csv"))
 
         avg_auroc = float(np.mean([r[0] for r in fold_results]))
         avg_aupr = float(np.mean([r[1] for r in fold_results]))
