@@ -59,6 +59,13 @@ class ModelConfig:
     # node tables up to MAX_ONEHOT_NODES).
     decoder_backend: str = "xla"
 
+    # Decode mode: 'edges' scores the candidate pair list (works at any
+    # scale); 'grid' scores the whole n_drug x n_dis grid with no
+    # per-edge gathers (kernels/pallas_grid_decoder.py) and masks
+    # out-of-fold cells via the loss/metric weights — the fast path for
+    # reference-scale datasets where candidates cover ~90% of the grid.
+    decode_mode: str = "edges"
+
     def effective_msg_units(self, layer_idx: int) -> int:
         """Message dim of GCMC layer ``layer_idx``.
 

@@ -36,15 +36,21 @@ def get_top_novel_predictions(params, model_cfg: ModelConfig,
 
     assoc = np.asarray(dataset.raw.association)
     zr, zc = np.nonzero(assoc == 0)
-    candidates = dataclasses.replace(
-        train_inputs,
-        dec_src=jax.numpy.asarray(zr, jax.numpy.int32),
-        dec_dst=jax.numpy.asarray(zc, jax.numpy.int32))
-
-    pred, *_ = jax.jit(
-        lambda p, x: forward(p, x, model_cfg, train=False))(params, candidates)
-    scores = jax.nn.sigmoid(pred)
-    scores = np.asarray(scores)
+    if model_cfg.decode_mode == "grid":
+        # Grid decode scores every cell at once; select the zero cells.
+        pred, *_ = jax.jit(
+            lambda p, x: forward(p, x, model_cfg, train=False))(
+            params, train_inputs)
+        scores = np.asarray(jax.nn.sigmoid(pred))[zr, zc]
+    else:
+        candidates = dataclasses.replace(
+            train_inputs,
+            dec_src=jax.numpy.asarray(zr, jax.numpy.int32),
+            dec_dst=jax.numpy.asarray(zc, jax.numpy.int32))
+        pred, *_ = jax.jit(
+            lambda p, x: forward(p, x, model_cfg, train=False))(
+            params, candidates)
+        scores = np.asarray(jax.nn.sigmoid(pred))
 
     order = np.argsort(-scores)[:top_k]
     rows = []

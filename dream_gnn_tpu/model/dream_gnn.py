@@ -26,7 +26,8 @@ import jax.numpy as jnp
 from dream_gnn_tpu.config import ModelConfig
 from dream_gnn_tpu.graph.bipartite import BipartiteGraph
 from dream_gnn_tpu.nn.attention import attention_apply, attention_init
-from dream_gnn_tpu.nn.decoder import decoder_apply, decoder_init
+from dream_gnn_tpu.nn.decoder import (decoder_apply, decoder_apply_grid,
+                                      decoder_init)
 from dream_gnn_tpu.nn.fgcn import fgcn_apply, fgcn_init
 from dream_gnn_tpu.nn.gcmc import gcmc_layer_apply, gcmc_layer_init
 
@@ -144,6 +145,23 @@ def forward(params, inputs: ModelInputs, cfg: ModelConfig, *,
                             edge_masks=edge_masks)
     dec_key = keys[cfg.layers + 3] if train else None
 
+    if cfg.decode_mode == "grid":
+        # pred is the (n_drug, n_dis) logit grid; the loss/metrics mask
+        # out-of-fold cells with enc_graph.mask (labels = enc_graph.a1).
+        if cfg.decoder_backend == "pallas":
+            from dream_gnn_tpu.kernels.pallas_grid_decoder import (
+                decoder_apply_grid_fused)
+            pred = decoder_apply_grid_fused(
+                params["decoder"], drug_feats, dis_feats,
+                dropout_rate=cfg.dropout, train=train, key=dec_key,
+                dtype=jnp.dtype(cfg.compute_dtype))
+        else:
+            pred = decoder_apply_grid(
+                params["decoder"], drug_feats, dis_feats,
+                dropout_rate=cfg.dropout, train=train, key=dec_key,
+                dtype=jnp.dtype(cfg.compute_dtype))
+        return pred, drug_out, drug_sim_out, dis_out, dis_sim_out
+
     if cfg.decoder_backend == "pallas":
         from dream_gnn_tpu.kernels.pallas_decoder import decoder_apply_fused
         pred = decoder_apply_fused(
@@ -194,6 +212,26 @@ def forward_stacked(params, inputs: ModelInputs, cfg: ModelConfig, *,
         dec_keys = None
 
     drug_feats, dis_feats, drug_out, drug_sim_out, dis_out, dis_sim_out = enc
+
+    if cfg.decode_mode == "grid":
+        if cfg.decoder_backend == "pallas":
+            from dream_gnn_tpu.kernels.pallas_grid_decoder import (
+                decoder_apply_grid_fused_batched)
+            pred = decoder_apply_grid_fused_batched(
+                params["decoder"], drug_feats, dis_feats,
+                dropout_rate=cfg.dropout, train=train, key=dec_keys,
+                dtype=jnp.dtype(cfg.compute_dtype))
+        elif train:
+            pred = jax.vmap(lambda p, df, vf, k: decoder_apply_grid(
+                p, df, vf, dropout_rate=cfg.dropout, train=True, key=k,
+                dtype=jnp.dtype(cfg.compute_dtype)))(
+                params["decoder"], drug_feats, dis_feats, dec_keys)
+        else:
+            pred = jax.vmap(lambda p, df, vf: decoder_apply_grid(
+                p, df, vf, dropout_rate=cfg.dropout, train=False,
+                dtype=jnp.dtype(cfg.compute_dtype)))(
+                params["decoder"], drug_feats, dis_feats)
+        return pred, drug_out, drug_sim_out, dis_out, dis_sim_out
 
     from dream_gnn_tpu.kernels.pallas_decoder import MAX_ONEHOT_NODES
     use_pallas = (cfg.decoder_backend == "pallas"

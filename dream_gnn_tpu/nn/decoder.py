@@ -65,3 +65,43 @@ def decoder_apply(params, edge_src: jnp.ndarray, edge_dst: jnp.ndarray,
     out = jnp.dot(h.astype(dtype), params["w3"].astype(dtype),
                   preferred_element_type=jnp.float32) + params["b3"]
     return out[:, 0]
+
+
+def decoder_apply_grid(params, drug_feat: jnp.ndarray,
+                       dis_feat: jnp.ndarray, *, dropout_rate: float,
+                       train: bool = False,
+                       key: Optional[jax.Array] = None,
+                       dtype=jnp.float32) -> jnp.ndarray:
+    """Score EVERY (drug, disease) cell as a dense grid.
+
+    At reference scale the candidate edge set covers ~90% of the full
+    drug x disease grid (rating-0 pairs are candidates too,
+    data_loader.py:423-446), so decoding the whole grid costs ~11% more
+    MLP FLOPs than the edge list but removes the per-edge gathers
+    entirely: ``lin1(concat(u, v)) = u@W1[:d] + v@W1[d:] + b1`` becomes
+    an outer sum of the two node projections.  Out-of-fold cells are
+    masked by the loss/metric weights, exactly like padded edges.
+
+    Returns logits of shape (n_drug, n_disease); ``grid[i, j]`` equals
+    ``decoder_apply`` on edge (i, j) in eval mode (tested).  Dropout
+    draws per-cell instead of per-edge — same distribution, different
+    stream.
+    """
+    d = drug_feat.shape[1]
+    proj_drug = jnp.dot(drug_feat.astype(dtype), params["w1"][:d].astype(dtype),
+                        preferred_element_type=jnp.float32)
+    proj_dis = jnp.dot(dis_feat.astype(dtype), params["w1"][d:].astype(dtype),
+                       preferred_element_type=jnp.float32)
+    h = jax.nn.relu(proj_drug[:, None, :] + proj_dis[None, :, :]
+                    + params["b1"])
+    if train:
+        k1, k2 = jax.random.split(key)
+        h = dropout(k1, h, dropout_rate, train)
+    h = jax.nn.relu(jnp.dot(h.astype(dtype), params["w2"].astype(dtype),
+                            preferred_element_type=jnp.float32)
+                    + params["b2"])
+    if train:
+        h = dropout(k2, h, dropout_rate, train)
+    out = jnp.dot(h.astype(dtype), params["w3"].astype(dtype),
+                  preferred_element_type=jnp.float32) + params["b3"]
+    return out[:, :, 0]

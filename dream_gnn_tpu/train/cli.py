@@ -76,6 +76,12 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["xla", "pallas"],
                    help="per-edge decoder: fused Pallas kernel (TPU) "
                         "or portable XLA lowering")
+    p.add_argument("--decode_mode", type=str, default="grid",
+                   choices=["edges", "grid"],
+                   help="score the candidate edge list, or the whole "
+                        "drug x disease grid with out-of-fold cells "
+                        "masked (no gathers — fastest at reference "
+                        "scale; statistically identical)")
     p.add_argument("--rng_impl", type=str, default="rbg",
                    choices=["rbg", "threefry2x32"],
                    help="PRNG implementation for training keys")
@@ -95,7 +101,8 @@ def config_from_args(args) -> TrainConfig:
         nhid1=args.nhid1, nhid2=args.nhid2, dropout=args.dropout,
         attention_dropout=args.attention_dropout,
         compute_dtype=args.compute_dtype,
-        decoder_backend=args.decoder_backend)
+        decoder_backend=args.decoder_backend,
+        decode_mode=args.decode_mode)
     augment = AugmentConfig(
         methods=tuple(args.aug_methods),
         edge_dropout_rate=args.edge_dropout_rate,

@@ -64,12 +64,18 @@ def make_one_step_stacked(model_cfg: ModelConfig, train_cfg: TrainConfig,
     sample-for-sample the sequential step.
     """
     augment = train_cfg.augment
+    grid = model_cfg.decode_mode == "grid"
 
     def loss_fn(params, inputs: ModelInputs, labels, keys_fwd, edge_masks,
                 edge_weight):
         pred, drug_out, drug_sim_out, dis_out, dis_sim_out = forward_stacked(
             params, inputs, model_cfg, train=True, key=keys_fwd,
             edge_masks=edge_masks)
+        if grid:
+            f = pred.shape[0]
+            pred = pred.reshape(f, -1)
+            labels = inputs.enc_graph.a1.reshape(f, -1)
+            edge_weight = inputs.enc_graph.mask.reshape(f, -1)
         losses = jax.vmap(
             lambda p, l, a, b, c, d, w: total_loss(
                 p, l, a, b, c, d, beta=train_cfg.beta,
@@ -138,10 +144,15 @@ def make_stacked_train_fns(model_cfg: ModelConfig, train_cfg: TrainConfig):
     def _eval_stacked(params, stacked: StackedFolds):
         pred, *_ = forward_stacked(params, stacked.inputs, model_cfg,
                                    train=False)
-        return (jax.vmap(auroc_masked)(stacked.labels, pred,
-                                       stacked.edge_weight),
-                jax.vmap(aupr_masked)(stacked.labels, pred,
-                                      stacked.edge_weight))
+        if model_cfg.decode_mode == "grid":
+            f = pred.shape[0]
+            pred = pred.reshape(f, -1)
+            labels = stacked.inputs.enc_graph.a1.reshape(f, -1)
+            w = stacked.inputs.enc_graph.mask.reshape(f, -1)
+        else:
+            labels, w = stacked.labels, stacked.edge_weight
+        return (jax.vmap(auroc_masked)(labels, pred, w),
+                jax.vmap(aupr_masked)(labels, pred, w))
 
     @partial(jax.jit, static_argnames=("n_steps",), donate_argnums=(0,))
     def run_interval(state: TrainState, train: StackedFolds,

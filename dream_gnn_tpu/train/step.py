@@ -43,14 +43,24 @@ def make_one_step(model_cfg: ModelConfig, train_cfg: TrainConfig, tx):
     Shared by the single-fold scan loop below and the fold-vmapped
     multi-chip path (sharding/partition.py).  ``edge_weight`` masks
     padded decoder edges when folds are stacked to a common budget.
+
+    Grid decode mode: pred is the (n_drug, n_dis) logit grid; the BCE
+    targets are the association grid (enc_graph.a1) weighted by the
+    in-fold cell mask (enc_graph.mask) — identical math to the
+    candidate edge list (same cells, same mean), no gathers.
     """
     augment = train_cfg.augment
+    grid = model_cfg.decode_mode == "grid"
 
     def loss_fn(params, inputs: ModelInputs, labels, key, edge_masks,
                 edge_weight):
         pred, drug_out, drug_sim_out, dis_out, dis_sim_out = forward(
             params, inputs, model_cfg, train=True, key=key,
             edge_masks=edge_masks)
+        if grid:
+            pred = pred.reshape(-1)
+            labels = inputs.enc_graph.a1.reshape(-1)
+            edge_weight = inputs.enc_graph.mask.reshape(-1)
         loss, rel = total_loss(
             pred, labels, drug_out, drug_sim_out, dis_out, dis_sim_out,
             beta=train_cfg.beta, smoothing=train_cfg.label_smoothing,
@@ -104,6 +114,8 @@ def make_train_fns(model_cfg: ModelConfig, train_cfg: TrainConfig):
         state, losses = jax.lax.scan(body, state, length=n_steps)
         return state, losses
 
+    grid = model_cfg.decode_mode == "grid"
+
     @jax.jit
     def evaluate(params, inputs: ModelInputs, labels, w=None):
         """Eval forward (dropout elided) + on-device AUROC/AUPR.
@@ -111,9 +123,14 @@ def make_train_fns(model_cfg: ModelConfig, train_cfg: TrainConfig):
         Parity trap §7.3.1: the caller chooses ``inputs.enc_graph`` —
         test-set evaluation runs the encoder on the *test* encoder
         graph, exactly like evaluation.py:32-34 + train.py:203-204.
-        ``w``: 1/0 validity weights for padded edge lists.
+        ``w``: 1/0 validity weights for padded edge lists.  Grid mode
+        ignores ``labels``/``w`` and scores the in-fold grid cells.
         """
         pred, *_ = forward(params, inputs, model_cfg, train=False)
+        if grid:
+            pred = pred.reshape(-1)
+            labels = inputs.enc_graph.a1.reshape(-1)
+            w = inputs.enc_graph.mask.reshape(-1)
         if w is None:
             return auroc(labels, pred), aupr(labels, pred), pred
         return (auroc_masked(labels, pred, w),
@@ -140,6 +157,13 @@ def make_train_fns(model_cfg: ModelConfig, train_cfg: TrainConfig):
                               train=False)
         te_pred, *_ = forward(state.params, test_inputs, model_cfg,
                               train=False)
+        if grid:
+            tr_pred = tr_pred.reshape(-1)
+            train_labels = train_inputs.enc_graph.a1.reshape(-1)
+            train_w = train_inputs.enc_graph.mask.reshape(-1)
+            te_pred = te_pred.reshape(-1)
+            test_labels = test_inputs.enc_graph.a1.reshape(-1)
+            test_w = test_inputs.enc_graph.mask.reshape(-1)
 
         def _roc(y, p, w):
             return auroc(y, p) if w is None else auroc_masked(y, p, w)
