@@ -74,6 +74,42 @@ def bench_tpu(dataset, cfg, model_cfg, steps=100, repeats=3):
     return steps / best
 
 
+def bench_tpu_foldparallel(dataset, cfg, model_cfg, n_folds=10,
+                           steps=100, repeats=3):
+    """Production protocol path: all CV folds of a seed advance as one
+    fold-batched compiled step (train/stacked.py + the fold-batched
+    grid decoder).  Returns fold-steps/s (= steps/s * n_folds)."""
+    import jax
+    import jax.numpy as jnp
+    from dream_gnn_tpu.sharding.foldstack import stack_folds
+    from dream_gnn_tpu.train.stacked import make_stacked_train_fns
+
+    fns = make_stacked_train_fns(model_cfg, cfg)
+    folds = list(range(n_folds))
+    tr = stack_folds(dataset, folds, side="train")
+    keys = jnp.stack([jax.random.fold_in(
+        jax.random.key(77, impl=cfg.rng_impl), cv) for cv in folds])
+    state = fns[0](keys)
+
+    t0 = time.perf_counter()
+    state, losses = fns[1](state, tr, steps)
+    jax.block_until_ready(losses)
+    log(f"tpu fold-parallel compile+first chunk: "
+        f"{time.perf_counter() - t0:.1f}s")
+
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        state, losses = fns[1](state, tr, steps)
+        jax.block_until_ready(losses)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    log(f"tpu fold-parallel ({n_folds} folds): {steps} steps in "
+        f"{best:.3f}s ({best / steps * 1e3:.2f} ms/step, "
+        f"{best / steps / n_folds * 1e3:.2f} ms/fold-step)")
+    return steps * n_folds / best
+
+
 class TorchRefStep:
     """Eager PyTorch-CPU training step with identical math (dense
     formulation of the reference model; baseline stand-in)."""
@@ -221,22 +257,31 @@ def main():
 
     cfg = TrainConfig(data_name="lrssl")
     dataset = DreamDataset.load("lrssl", k=cfg.num_neighbor)
-    # Optimised TPU execution config: fused Pallas decoder + bf16
-    # matmul operands (see kernels/pallas_decoder.py and BASELINE.md).
+    # Optimised TPU execution config: fused Pallas decoders + bf16
+    # matmul operands; the headline path is the production protocol
+    # config — all 10 CV folds fold-batched on one chip with the
+    # dense-grid decoder (train/stacked.py, kernels/pallas_grid_decoder
+    # .py; see BASELINE.md).
     model_cfg = dataclasses.replace(derive_model_cfg(cfg, dataset),
                                     decoder_backend="pallas",
                                     compute_dtype="bfloat16")
+    grid_cfg = dataclasses.replace(model_cfg, decode_mode="grid")
     eps = edges_per_step(dataset, model_cfg)
     log(f"lrssl-scale: {dataset.n_drug}x{dataset.n_dis}, "
         f"edges/step={eps:.3e}")
 
-    tpu_steps_per_s = bench_tpu(dataset, cfg, model_cfg,
+    seq_steps_per_s = bench_tpu(dataset, cfg, model_cfg,
                                 steps=20 if quick else 50,
                                 repeats=2 if quick else 3)
+    log(f"single-fold sequential path: "
+        f"{seq_steps_per_s * eps:.3e} edges/s")
+    fold_steps_per_s = bench_tpu_foldparallel(
+        dataset, cfg, grid_cfg, n_folds=10,
+        steps=50 if quick else 100, repeats=2 if quick else 3)
     torch_steps_per_s = bench_torch_cpu(dataset, cfg, model_cfg,
                                         steps=3 if quick else 5)
 
-    tpu_eps = tpu_steps_per_s * eps
+    tpu_eps = fold_steps_per_s * eps
     ref_eps = torch_steps_per_s * eps
     print(json.dumps({
         "metric": "train_step_edges_per_s_per_chip_lrssl",
