@@ -134,6 +134,11 @@ class TrainConfig:
     save_model: bool = False
     generate_top_predictions: bool = False
     top_k: int = 200
+    # Reference --use_augmentation: gates ONLY the loader-side feature
+    # augmentation consumed by novel prediction (data_loader.py:518,559
+    # — the train loop's per-iteration augmentation is always on
+    # regardless; parity trap SURVEY §7.3.2).
+    use_augmentation: bool = False
     # Periodic full-state checkpointing for preemption recovery (0 =
     # off); must be a multiple of train_valid_interval to take effect.
     checkpoint_every: int = 0

@@ -57,7 +57,9 @@ class DreamDataset:
 
     def __init__(self, raw: RawData, *, k: int = 4, symm: bool = True,
                  n_folds: int = 10, kfold_seed: int = 1024,
-                 pad_folds: bool = True):
+                 pad_folds: bool = True,
+                 embedding_mode: str = "pretrained",
+                 embedding_seed: int = 0):
         self.raw = raw
         self.n_drug = raw.n_drug
         self.n_dis = raw.n_dis
@@ -71,8 +73,22 @@ class DreamDataset:
             n[n == 0] = 1.0
             return (x / n).astype(np.float32)
 
-        self.drug_feat = jnp.asarray(_l2(raw.drug_embed))
-        self.dis_feat = jnp.asarray(_l2(raw.dis_embed))
+        if embedding_mode == "random":
+            # Reference --embedding_mode random: N(0, 0.1) 768-d node
+            # features instead of pretrained embeds (data_loader.py:
+            # 209-218); the kNN *feature* graphs still use the raw
+            # embeds (built before _generate_feat in the reference).
+            rng = np.random.default_rng(embedding_seed)
+            self.drug_feat = jnp.asarray(_l2(
+                rng.normal(0, 0.1, (raw.n_drug, 768))))
+            self.dis_feat = jnp.asarray(_l2(
+                rng.normal(0, 0.1, (raw.n_dis, 768))))
+        elif embedding_mode == "pretrained":
+            self.drug_feat = jnp.asarray(_l2(raw.drug_embed))
+            self.dis_feat = jnp.asarray(_l2(raw.dis_embed))
+        else:
+            raise ValueError(f"embedding_mode must be 'pretrained' or "
+                             f"'random', got {embedding_mode!r}")
         self.drug_sim_feat = jnp.asarray(raw.drug_sim, jnp.float32)
         self.dis_sim_feat = jnp.asarray(raw.dis_sim, jnp.float32)
 
@@ -89,7 +105,8 @@ class DreamDataset:
     @classmethod
     def load(cls, name_or_path: str, *, k: int = 4, symm: bool = True,
              n_folds: int = 10, kfold_seed: int = 1024,
-             synthetic_seed: Optional[int] = None) -> "DreamDataset":
+             synthetic_seed: Optional[int] = None,
+             embedding_mode: str = "pretrained") -> "DreamDataset":
         """Load a .mat file, or generate a synthetic preset by name."""
         if name_or_path.endswith(".mat"):
             from dream_gnn_tpu.data.matio import load_mat
@@ -98,6 +115,7 @@ class DreamDataset:
             raw = synthetic_raw_data(name_or_path,
                                      seed=synthetic_seed or 0)
         return cls(raw, k=k, symm=symm, n_folds=n_folds,
+                   embedding_mode=embedding_mode,
                    kfold_seed=kfold_seed)
 
     def augment_features(self, key, augment_cfg=None):

@@ -30,9 +30,23 @@ from dream_gnn_tpu.train.loop import fold_inputs
 def get_top_novel_predictions(params, model_cfg: ModelConfig,
                               dataset: DreamDataset, cv: int,
                               top_k: int = 200,
-                              save_path: Optional[str] = None):
-    """Returns a list of dicts {drug_id, disease_id, score[, drug_name]}."""
+                              save_path: Optional[str] = None,
+                              use_augmentation: bool = False,
+                              augment_cfg=None,
+                              augment_key=None):
+    """Returns a list of dicts {drug_id, disease_id, score[, drug_name]}.
+
+    ``use_augmentation``: reference --use_augmentation — apply one
+    loader-side feature-augmentation draw (noise -> masking [-> mixup])
+    to the node features fed to the forward (data_loader.py:518,559 via
+    get_graph_data_for_training, train.py:87-93).
+    """
     train_inputs, _, _, _ = fold_inputs(dataset, cv)
+    if use_augmentation:
+        key = augment_key if augment_key is not None else jax.random.key(0)
+        drug_feat, dis_feat = dataset.augment_features(key, augment_cfg)
+        train_inputs = dataclasses.replace(
+            train_inputs, drug_feat=drug_feat, dis_feat=dis_feat)
 
     assoc = np.asarray(dataset.raw.association)
     zr, zc = np.nonzero(assoc == 0)

@@ -60,6 +60,27 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--feature_mask_rate", type=float, default=0.1)
     p.add_argument("--mixup_alpha", type=float, default=0.2)
     p.add_argument("--save_model", action="store_true")
+    # Reference-parity flags (train.py:403-452):
+    p.add_argument("--device", type=int, default=0,
+                   help="reference GPU index (-1 = CPU); accepted for "
+                        "CLI parity, ignored — JAX owns device placement")
+    p.add_argument("--save_id", type=int, default=None,
+                   help="reference log-save id; accepted for parity, "
+                        "ignored — the harness assigns fold ids (cv+1) "
+                        "exactly like the reference loop (train.py:501)")
+    p.add_argument("--l2_reg_weight", type=float, default=0.0,
+                   help="parsed but never used by the reference "
+                        "(train.py:426) — accepted for parity, dead here "
+                        "too (weight decay is --weight_decay)")
+    p.add_argument("--embedding_mode", type=str, default="pretrained",
+                   choices=["pretrained", "random"],
+                   help="pretrained .mat embeddings, or random N(0,0.1) "
+                        "768-d features (data_loader.py:209-218)")
+    p.add_argument("--use_augmentation", action="store_true",
+                   default=False,
+                   help="loader-side feature augmentation for novel "
+                        "prediction ONLY — the train loop's augmentation "
+                        "is always on (parity trap SURVEY §7.3.2)")
     p.add_argument("--label_smoothing", type=float, default=0.0)
     p.add_argument("--generate_top_predictions", action="store_true",
                    default=False)
@@ -121,6 +142,7 @@ def config_from_args(args) -> TrainConfig:
         train_valid_interval=args.train_valid_interval,
         beta=args.beta, label_smoothing=args.label_smoothing,
         save_model=args.save_model,
+        use_augmentation=args.use_augmentation,
         generate_top_predictions=args.generate_top_predictions,
         top_k=args.top_k, model=model, augment=augment,
         rng_impl=args.rng_impl)
@@ -138,7 +160,8 @@ def resolve_dataset(args, cfg: TrainConfig) -> DreamDataset:
     return DreamDataset.load(path, k=cfg.num_neighbor,
                              symm=cfg.gcn_agg_norm_symm,
                              n_folds=cfg.n_folds,
-                             kfold_seed=cfg.kfold_seed)
+                             kfold_seed=cfg.kfold_seed,
+                             embedding_mode=args.embedding_mode)
 
 
 def main(argv=None):

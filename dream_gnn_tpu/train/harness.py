@@ -66,6 +66,9 @@ def run_experiments(dataset: DreamDataset, cfg: TrainConfig, *,
                     get_top_novel_predictions(
                         res["best_params"], res["model_cfg"], dataset, cv,
                         top_k=cfg.top_k,
+                        use_augmentation=cfg.use_augmentation,
+                        augment_cfg=cfg.augment,
+                        augment_key=jax.random.fold_in(seed_key, 1000 + cv),
                         save_path=os.path.join(
                             exp_dir, f"top{cfg.top_k}_novel_predictions"
                             f"_fold{cv + 1}.csv"))
@@ -88,6 +91,9 @@ def run_experiments(dataset: DreamDataset, cfg: TrainConfig, *,
                     get_top_novel_predictions(
                         res["best_params"], res["model_cfg"], dataset, cv,
                         top_k=cfg.top_k,
+                        use_augmentation=cfg.use_augmentation,
+                        augment_cfg=cfg.augment,
+                        augment_key=jax.random.fold_in(seed_key, 1000 + cv),
                         save_path=os.path.join(
                             exp_dir,
                             f"top{cfg.top_k}_novel_predictions"
