@@ -77,8 +77,8 @@ def make_multichip_train_step(mesh: Mesh, model_cfg: ModelConfig,
     ``step(state, stacked)`` advances every fold by one iteration.
     """
     if model_cfg.decoder_backend != "xla":
-        # The fused Pallas decoder has no batching rule; the fold-vmapped
-        # path always uses the XLA lowering.
+        # The fused Pallas decoders have no SPMD partitioning rules; the
+        # mesh-sharded path always uses the XLA lowerings.
         import dataclasses
 
         model_cfg = dataclasses.replace(model_cfg, decoder_backend="xla")
@@ -103,3 +103,35 @@ def make_multichip_train_step(mesh: Mesh, model_cfg: ModelConfig,
         return new_state, losses
 
     return init_stacked_state, step
+
+
+def make_multichip_train_fns(mesh: Mesh, model_cfg: ModelConfig,
+                             train_cfg: TrainConfig):
+    """Mesh-sharded fold-parallel protocol fns.
+
+    The production interval runner (train/stacked.py: scanned
+    fold-batched step + both evals in ONE dispatch) compiled over a
+    dp x mp mesh: the fold axis shards over ``dp`` and the disease
+    node/edge dimensions over ``mp`` (see stacked_input_sharding); XLA
+    inserts the ICI collectives for cross-shard contractions.  The
+    fused Pallas decoders have no SPMD partitioning rules, so this
+    path forces the XLA decoder lowerings (both decode modes work).
+
+    Returns ``(init_state, run_steps, run_interval)`` with the stacked
+    signatures; ``init_state`` takes the per-fold key stack and returns
+    a mesh-sharded TrainState.  Shard the data with
+    ``shard_stacked(mesh, stacked)`` first.
+    """
+    import dataclasses
+
+    from dream_gnn_tpu.train.stacked import make_stacked_train_fns
+
+    if model_cfg.decoder_backend != "xla":
+        model_cfg = dataclasses.replace(model_cfg, decoder_backend="xla")
+    init_state, run_steps, run_interval = make_stacked_train_fns(
+        model_cfg, train_cfg)
+
+    def init_sharded(fold_keys) -> TrainState:
+        return shard_state(mesh, init_state(fold_keys))
+
+    return init_sharded, run_steps, run_interval

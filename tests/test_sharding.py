@@ -99,3 +99,39 @@ def test_multihost_helpers_single_process():
     assert mesh.devices.size == 8
     s = multihost.local_shard_slice(10)
     assert s == slice(0, 10)
+
+
+def test_multichip_interval_matches_unsharded(setup):
+    """The mesh-sharded fold-parallel interval (scan + evals in one
+    dispatch) must reproduce the single-device stacked run — threefry
+    keys so the streams are sharding-invariant."""
+    import jax.numpy as jnp
+
+    from dream_gnn_tpu.sharding.partition import (make_multichip_train_fns,
+                                                  shard_stacked)
+    from dream_gnn_tpu.train.stacked import make_stacked_train_fns
+
+    dataset, cfg, model_cfg = setup
+    cfg = dataclasses.replace(cfg, rng_impl="threefry2x32")
+    folds = [0, 1, 2, 3]
+    keys = jnp.stack([jax.random.fold_in(
+        jax.random.key(5, impl=cfg.rng_impl), cv) for cv in folds])
+
+    tr = stack_folds(dataset, folds, pad_multiple=64, side="train")
+    te = stack_folds(dataset, folds, pad_multiple=64, side="test")
+    ref_fns = make_stacked_train_fns(
+        dataclasses.replace(model_cfg, decoder_backend="xla"), cfg)
+    ref_state = ref_fns[0](keys)
+    ref_state, ref_metrics = ref_fns[2](ref_state, tr, te, 4)
+    ref_metrics = np.asarray(ref_metrics)
+
+    mesh = make_mesh(dp=4, mp=2)
+    fns = make_multichip_train_fns(mesh, model_cfg, cfg)
+    state = fns[0](keys)
+    tr_s = shard_stacked(mesh, stack_folds(dataset, folds,
+                                           pad_multiple=64, side="train"))
+    te_s = shard_stacked(mesh, stack_folds(dataset, folds,
+                                           pad_multiple=64, side="test"))
+    state, metrics = fns[2](state, tr_s, te_s, 4)
+    np.testing.assert_allclose(np.asarray(metrics), ref_metrics,
+                               rtol=5e-4, atol=5e-4)
