@@ -122,6 +122,26 @@ def edge_dropout_masks_grouped(key, graph, rate: float):
             "rate": rate, "kind": "grouped_prf"}
 
 
+def edge_dropout_masks_sharded(key, graph, rate: float):
+    """Per-edge keep masks for a BipartiteSharded encoder graph: shape
+    (S, E_shard) per relation per direction.  The sharded path has no
+    manual transposed layout (autodiff transposes the shard_map), so
+    plain iid Bernoulli draws suffice; forward/reverse relations drop
+    independent sets (augmentation.py:35-62)."""
+    keep = 1.0 - rate
+    keys = jax.random.split(key, 2 * graph.num_ratings)
+    return {
+        "fwd": tuple(
+            jax.random.bernoulli(keys[2 * r], keep,
+                                 graph.fwd[r].val.shape)
+            .astype(jnp.float32) for r in range(graph.num_ratings)),
+        "rev": tuple(
+            jax.random.bernoulli(keys[2 * r + 1], keep,
+                                 graph.rev[r].val.shape)
+            .astype(jnp.float32) for r in range(graph.num_ratings)),
+    }
+
+
 def sparse_edge_dropout(key, adj, rate: float):
     """Drop entries of a similarity adjacency (any layout).
 
@@ -191,14 +211,21 @@ def augment_inputs(key, inputs, cfg: AugmentConfig, num_ratings: int = 2):
     for method in cfg.methods:
         if method == "edge_dropout":
             from dream_gnn_tpu.graph.grouped import BipartiteGrouped
+            from dream_gnn_tpu.sharding.scale_graph import (
+                BipartiteSharded, BipartiteShardedGrouped)
 
             if isinstance(inputs.enc_graph, BipartiteGraph):
                 edge_masks = edge_dropout_masks(
                     keys[next(ki)], inputs.enc_graph.n_drug,
                     inputs.enc_graph.n_dis, num_ratings,
                     cfg.edge_dropout_rate)
-            elif isinstance(inputs.enc_graph, BipartiteGrouped):
+            elif isinstance(inputs.enc_graph,
+                            (BipartiteGrouped, BipartiteShardedGrouped)):
                 edge_masks = edge_dropout_masks_grouped(
+                    keys[next(ki)], inputs.enc_graph,
+                    cfg.edge_dropout_rate)
+            elif isinstance(inputs.enc_graph, BipartiteSharded):
+                edge_masks = edge_dropout_masks_sharded(
                     keys[next(ki)], inputs.enc_graph,
                     cfg.edge_dropout_rate)
             else:

@@ -1,10 +1,12 @@
-"""ctypes bindings for the native (C++) blocked-layout builder.
+"""ctypes bindings for the native (C++) graph-layout builders.
 
-Loads ``native/libblocked_builder.so`` (auto-compiling it with g++ on
-first use if the checkout has no prebuilt artifact) and exposes
-``build_blocked_native`` with the exact output contract of the NumPy
-path in graph/blocked.py.  Callers fall back to NumPy when no compiler
-is available (``is_available()``).
+Loads ``native/libblocked_builder.so`` and
+``native/libgrouped_builder.so`` (auto-compiling with g++ on first use
+if the checkout has no prebuilt artifact) and exposes
+``build_blocked_native`` / ``build_grouped_native`` with the exact
+output contracts of the NumPy paths in graph/blocked.py and
+graph/grouped.py.  Callers fall back to NumPy when no compiler is
+available (``is_available()`` / ``grouped_available()``).
 """
 
 from __future__ import annotations
@@ -62,6 +64,97 @@ def _load() -> Optional[ctypes.CDLL]:
 
 def is_available() -> bool:
     return _load() is not None
+
+
+_GLOCK = threading.Lock()
+_GLIB: Optional[ctypes.CDLL] = None
+_GTRIED = False
+
+_GSRC = os.path.join(os.path.dirname(_SRC), "grouped_builder.cc")
+_GSO = os.path.join(os.path.dirname(_SRC), "libgrouped_builder.so")
+
+
+def _gload() -> Optional[ctypes.CDLL]:
+    global _GLIB, _GTRIED
+    with _GLOCK:
+        if _GLIB is not None or _GTRIED:
+            return _GLIB
+        _GTRIED = True
+        if not os.path.exists(_GSO) and os.path.exists(_GSRC):
+            try:
+                subprocess.run(["g++", "-O3", "-shared", "-fPIC",
+                                "-o", _GSO, _GSRC], check=True,
+                               capture_output=True, timeout=120)
+            except Exception:
+                return None
+        if not os.path.exists(_GSO):
+            return None
+        lib = ctypes.CDLL(_GSO)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        lib.gb_plan.restype = ctypes.c_void_p
+        lib.gb_plan.argtypes = [i32p, i32p, f32p, ctypes.c_int64,
+                                ctypes.c_int64, ctypes.c_int64,
+                                ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        lib.gb_num_chunks.restype = ctypes.c_int64
+        lib.gb_num_chunks.argtypes = [ctypes.c_void_p]
+        lib.gb_num_live.restype = ctypes.c_int64
+        lib.gb_num_live.argtypes = [ctypes.c_void_p]
+        lib.gb_fill.restype = None
+        lib.gb_fill.argtypes = [ctypes.c_void_p, i32p, i32p, f32p,
+                                i32p, i32p, i32p, i32p]
+        lib.gb_free.restype = None
+        lib.gb_free.argtypes = [ctypes.c_void_p]
+        _GLIB = lib
+        return _GLIB
+
+
+def grouped_available() -> bool:
+    return _gload() is not None
+
+
+def build_grouped_native(src, dst, val, n_src: int, n_dst: int,
+                         sub: int, tile_dst: int, groups_per_chunk: int):
+    """Returns (g_src, g_dst, g_val, g_eid, g_sub, c_dt, c_first) numpy
+    arrays with the same contract as graph/grouped.py's NumPy builder,
+    or None if the native library is unavailable."""
+    lib = _gload()
+    if lib is None:
+        return None
+
+    src = np.ascontiguousarray(src, np.int32)
+    dst = np.ascontiguousarray(dst, np.int32)
+    val = np.ascontiguousarray(val, np.float32)
+
+    def _p(a, t):
+        return a.ctypes.data_as(ctypes.POINTER(t))
+
+    h = lib.gb_plan(_p(src, ctypes.c_int32), _p(dst, ctypes.c_int32),
+                    _p(val, ctypes.c_float), len(src), n_src, n_dst,
+                    sub, tile_dst, groups_per_chunk)
+    try:
+        c = max(int(lib.gb_num_chunks(h)), 1)
+        g_src = np.zeros((c, groups_per_chunk, sub), np.int32)
+        g_dst = np.zeros((c, groups_per_chunk, sub), np.int32)
+        g_val = np.zeros((c, groups_per_chunk, sub), np.float32)
+        g_eid = np.full((c, groups_per_chunk, sub),
+                        int(lib.gb_num_live(h)), np.int32)
+        g_sub = np.zeros((c * groups_per_chunk,), np.int32)
+        c_dt = np.zeros((c,), np.int32)
+        c_first = np.zeros((c,), np.int32)
+        if lib.gb_num_chunks(h) > 0:
+            lib.gb_fill(h, _p(g_src, ctypes.c_int32),
+                        _p(g_dst, ctypes.c_int32),
+                        _p(g_val, ctypes.c_float),
+                        _p(g_eid, ctypes.c_int32),
+                        _p(g_sub, ctypes.c_int32),
+                        _p(c_dt, ctypes.c_int32),
+                        _p(c_first, ctypes.c_int32))
+        else:
+            c_first[0] = 1
+        return g_src, g_dst, g_val, g_eid, g_sub, c_dt, c_first
+    finally:
+        lib.gb_free(h)
 
 
 def build_blocked_native(src, dst, val, n_src: int, n_dst: int,

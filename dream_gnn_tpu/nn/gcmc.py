@@ -132,8 +132,65 @@ def gcmc_layer_apply(params, graph: BipartiteGraph,
                                           preferred_element_type=jnp.float32)
         else:
             from dream_gnn_tpu.graph.grouped import BipartiteGrouped
+            from dream_gnn_tpu.sharding.scale_graph import (
+                BipartiteSharded, BipartiteShardedGrouped,
+                spmm_gather_sharded)
 
-            if isinstance(graph, BipartiteGrouped):
+            if isinstance(graph, BipartiteShardedGrouped):
+                # Production multi-chip scale path: per-shard Pallas
+                # gather-kernel aggregation + all_gather halo exchange.
+                g_f, g_r = graph.fwd[r], graph.rev[r]
+                if edge_masks is not None:
+                    assert edge_masks.get("kind") == "grouped_prf", \
+                        "sharded-grouped layout needs PRF edge masks"
+                    import dataclasses as _dc
+
+                    from dream_gnn_tpu.augment.masks import prf_keep_mask
+                    rate = edge_masks["rate"]
+
+                    def _mask_pair(pair, salt):
+                        return _dc.replace(
+                            pair,
+                            fwd=_dc.replace(pair.fwd, val=pair.fwd.val *
+                                            prf_keep_mask(salt,
+                                                          pair.fwd.edge_id,
+                                                          rate)),
+                            bwd=_dc.replace(pair.bwd, val=pair.bwd.val *
+                                            prf_keep_mask(salt,
+                                                          pair.bwd.edge_id,
+                                                          rate)))
+
+                    g_f = _mask_pair(g_f, edge_masks["fwd_salts"][r])
+                    g_r = _mask_pair(g_r, edge_masks["rev_salts"][r])
+                n_shards = graph.mesh.shape[graph.axis]
+                msg_dis = msg_dis + spmm_gather_sharded(
+                    graph.mesh, graph.axis, g_f, hd * cj_d,
+                    graph.n_dis, -(-graph.n_dis // n_shards))
+                msg_drug = msg_drug + spmm_gather_sharded(
+                    graph.mesh, graph.axis, g_r, hv * cj_v,
+                    graph.n_drug, -(-graph.n_drug // n_shards))
+            elif isinstance(graph, BipartiteSharded):
+                # Multi-chip scale path: dst-partitioned relations, halo
+                # exchange (all_gather over ICI) inside shard_map; the
+                # backward pass transposes it to a reduce_scatter.
+                import dataclasses as _dc
+
+                from dream_gnn_tpu.sharding.edge_partition import \
+                    spmm_sharded
+
+                g_f, g_r = graph.fwd[r], graph.rev[r]
+                if edge_masks is not None:
+                    g_f = _dc.replace(g_f,
+                                      val=g_f.val * edge_masks["fwd"][r])
+                    g_r = _dc.replace(g_r,
+                                      val=g_r.val * edge_masks["rev"][r])
+                msg_dis = msg_dis + spmm_sharded(
+                    graph.mesh, graph.axis, g_f,
+                    hd * cj_d)[: graph.n_dis]
+                msg_drug = msg_drug + spmm_sharded(
+                    graph.mesh, graph.axis, g_r,
+                    hv * cj_v)[: graph.n_drug]
+            elif isinstance(graph, BipartiteGrouped):
                 # Scale path: grouped-gather Pallas SpMM.  Edge-dropout
                 # masks are a PRF of the physical edge id, so the fwd
                 # and transposed layouts of each relation see the SAME

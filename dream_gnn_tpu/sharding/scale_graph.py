@@ -1,0 +1,275 @@
+"""Mesh-sharded bipartite encoder graph — full-model edge-partitioned
+training (BASELINE.json config 5).
+
+The reference has no distributed support of any kind (SURVEY.md §2.C);
+this is a first-class new component.  For graphs too large for one
+chip, every (rating, direction) relation of the encoder heterograph is
+a dst-partitioned ``ShardedCoo`` (sharding/edge_partition.py): each
+device owns a contiguous destination-row range and the edge block
+targeting it, and source features are all-gathered over ICI inside a
+``shard_map`` (the halo exchange) before the local aggregation.
+
+``BipartiteSharded`` slots into the same ``gcmc_layer_apply`` relation
+loop as the dense / padded-COO / grouped layouts (nn/gcmc.py), so the
+standard ``make_train_fns`` factories produce a *full* training step —
+dual-route forward, BCE loss, backward (XLA transposes the all_gather
+to a reduce_scatter), Adam — compiled over the mesh.  Numerics are
+pinned to the single-device COO path by tests/test_sharded_scale.py on
+a virtual 8-device mesh.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dream_gnn_tpu.graph.coo import coo_from_arrays
+from dream_gnn_tpu.graph.norms import inv_sqrt_norm
+from dream_gnn_tpu.sharding.edge_partition import (ShardedCoo,
+                                                   put_sharded_coo,
+                                                   shard_coo_by_dst)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BipartiteSharded:
+    """Relation-typed bipartite encoder graph, dst-sharded over a mesh
+    axis.  ``fwd[r]``: drug -> disease edges of rating r (dst = disease
+    rows sharded); ``rev[r]``: disease -> drug (dst = drug rows).
+    Norm semantics follow data_loader.py:453-488 (degree summed over
+    all relations)."""
+
+    fwd: tuple        # tuple[ShardedCoo], len R
+    rev: tuple        # tuple[ShardedCoo], len R
+    ci_drug: jnp.ndarray
+    cj_drug: jnp.ndarray
+    ci_dis: jnp.ndarray
+    cj_dis: jnp.ndarray
+    mesh: Mesh = dataclasses.field(metadata=dict(static=True))
+    axis: str = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def n_drug(self) -> int:
+        return self.rev[0].n_dst
+
+    @property
+    def n_dis(self) -> int:
+        return self.fwd[0].n_dst
+
+    @property
+    def num_ratings(self) -> int:
+        return len(self.fwd)
+
+    def num_edges(self) -> float:
+        return float(sum(int((g.val != 0).sum()) for g in self.fwd)
+                     + sum(int((g.val != 0).sum()) for g in self.rev))
+
+
+def build_enc_graph_sharded(pairs, values, n_drug: int, n_dis: int,
+                            mesh: Mesh, axis: str, symm: bool = True,
+                            ratings=(0, 1),
+                            pad_multiple: int = 512) -> BipartiteSharded:
+    """Partition the encoder heterograph across ``mesh[axis]`` and
+    device_put every edge block on its owning shard."""
+    pairs = np.asarray(pairs)
+    values = np.asarray(values)
+    n_shards = mesh.shape[axis]
+    fwd, rev = [], []
+    for r in ratings:
+        idx = np.where(values == r)[0]
+        dr, di = pairs[0][idx], pairs[1][idx]
+        ones = np.ones(len(idx), np.float32)
+        fwd.append(shard_coo_by_dst(
+            coo_from_arrays(dr, di, ones, n_drug, n_dis), n_shards,
+            pad_multiple))
+        rev.append(shard_coo_by_dst(
+            coo_from_arrays(di, dr, ones, n_dis, n_drug), n_shards,
+            pad_multiple))
+
+    deg_drug = np.bincount(pairs[0], minlength=n_drug).astype(np.float32)
+    deg_dis = np.bincount(pairs[1], minlength=n_dis).astype(np.float32)
+    ci_drug = jnp.asarray(inv_sqrt_norm(deg_drug))
+    ci_dis = jnp.asarray(inv_sqrt_norm(deg_dis))
+    cj_drug = ci_drug if symm else jnp.ones((n_drug, 1), jnp.float32)
+    cj_dis = ci_dis if symm else jnp.ones((n_dis, 1), jnp.float32)
+
+    rep = NamedSharding(mesh, P())
+    return BipartiteSharded(
+        fwd=tuple(put_sharded_coo(mesh, axis, g) for g in fwd),
+        rev=tuple(put_sharded_coo(mesh, axis, g) for g in rev),
+        ci_drug=jax.device_put(ci_drug, rep),
+        cj_drug=jax.device_put(cj_drug, rep),
+        ci_dis=jax.device_put(ci_dis, rep),
+        cj_dis=jax.device_put(cj_dis, rep),
+        mesh=mesh, axis=axis)
+
+
+# ---------------------------------------------------------------------------
+# Sharded-grouped: the Pallas gather kernel per shard inside the halo
+# exchange — the production multi-chip scale path (speed-of-light local
+# aggregation + ICI all_gather).
+
+
+def _pad_chunks(g, c_max: int, n_pad_val: int):
+    """Pad a GroupedCoo to ``c_max`` chunks (padding carries val=0,
+    dst_tile=0, first=0 — accumulates zeros into tile 0, harmless)."""
+    import dataclasses as _dc
+
+    from dream_gnn_tpu.graph.grouped import GROUPS_PER_CHUNK
+
+    c = g.n_chunks
+    if c == c_max:
+        return g
+    pc = c_max - c
+    pad3 = lambda a, v=0: jnp.concatenate(
+        [a, jnp.full((pc,) + a.shape[1:], v, a.dtype)], axis=0)
+    return _dc.replace(
+        g,
+        src_local=pad3(g.src_local), dst_local=pad3(g.dst_local),
+        val=pad3(g.val), edge_id=pad3(g.edge_id, n_pad_val),
+        subtile=jnp.concatenate(
+            [g.subtile, jnp.zeros((pc * GROUPS_PER_CHUNK,), jnp.int32)]),
+        dst_tile=pad3(g.dst_tile), first_of_dst=pad3(g.first_of_dst))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BipartiteShardedGrouped:
+    """Like BipartiteSharded, but each shard's local edge block is a
+    GroupedCooPair (graph/grouped.py) so local aggregation runs through
+    the sub-vreg gather Pallas kernel instead of XLA segment_sum.
+    Every GroupedCoo leaf carries a leading shard axis S (chunk counts
+    padded to the max across shards); edge_id is globalised with a
+    per-shard base so PRF edge-dropout masks stay iid across shards and
+    consistent between each shard's fwd/bwd layouts."""
+
+    fwd: tuple        # tuple[GroupedCooPair], leaves (S, ...)
+    rev: tuple
+    ci_drug: jnp.ndarray
+    cj_drug: jnp.ndarray
+    ci_dis: jnp.ndarray
+    cj_dis: jnp.ndarray
+    mesh: Mesh = dataclasses.field(metadata=dict(static=True))
+    axis: str = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def n_drug(self) -> int:
+        return self.fwd[0].fwd.n_src     # fwd relation: src = drug
+
+    @property
+    def n_dis(self) -> int:
+        return self.rev[0].fwd.n_src     # rev relation: src = disease
+
+    @property
+    def num_ratings(self) -> int:
+        return len(self.fwd)
+
+
+def _sharded_grouped_pairs(src, dst, val, n_src: int, n_dst: int,
+                           n_shards: int):
+    """Per-shard GroupedCooPairs (dst-partitioned), leaves stacked with
+    a leading shard axis."""
+    import dataclasses as _dc
+
+    from dream_gnn_tpu.graph.grouped import (GroupedCooPair,
+                                             grouped_pair_from_arrays)
+
+    rps = -(-n_dst // n_shards)
+    pairs = []
+    base = 0
+    for s in range(n_shards):
+        m = (dst // rps) == s
+        p = grouped_pair_from_arrays(src[m], dst[m] - s * rps, val[m],
+                                     n_src, rps)
+        n_local = int(m.sum())
+        p = GroupedCooPair(
+            fwd=_dc.replace(p.fwd, edge_id=p.fwd.edge_id + base),
+            bwd=_dc.replace(p.bwd, edge_id=p.bwd.edge_id + base))
+        pairs.append(p)
+        base += n_local
+    cf = max(p.fwd.n_chunks for p in pairs)
+    cb = max(p.bwd.n_chunks for p in pairs)
+    pairs = [GroupedCooPair(fwd=_pad_chunks(p.fwd, cf, base),
+                            bwd=_pad_chunks(p.bwd, cb, base))
+             for p in pairs]
+    return jax.tree.map(lambda *ls: jnp.stack(ls), *pairs), rps
+
+
+def spmm_gather_sharded(mesh: Mesh, axis: str, pair, x: jnp.ndarray,
+                        n_dst: int, rows_per_shard: int) -> jnp.ndarray:
+    """Dst-sharded SpMM with per-shard Pallas gather-kernel local
+    aggregation and all_gather halo exchange.  ``pair`` is a stacked
+    GroupedCooPair (leading shard axis on every leaf); ``x`` is
+    (n_src, d), row-sharded over ``axis``.  Returns (n_dst, d)
+    row-sharded."""
+    from functools import partial
+
+    from jax import shard_map
+
+    from dream_gnn_tpu.kernels.pallas_spmm_gather import spmm_gather
+
+    n_shards = mesh.shape[axis]
+    n_pad_src = n_shards * (-(-x.shape[0] // n_shards))
+    if x.shape[0] != n_pad_src:
+        x = jnp.pad(x, ((0, n_pad_src - x.shape[0]), (0, 0)))
+
+    # check_vma=False: pallas_call's out ShapeDtypeStruct carries no
+    # varying-mesh-axes annotation, which the checker (on by default)
+    # rejects inside shard_map.
+    @partial(shard_map, mesh=mesh, in_specs=(P(axis), P(axis)),
+             out_specs=P(axis), check_vma=False)
+    def _local(pair_block, x_block):
+        x_full = jax.lax.all_gather(x_block[0], axis, axis=0, tiled=True)
+        local = jax.tree.map(lambda a: a[0], pair_block)
+        out = spmm_gather(local, x_full[: local.fwd.n_src])
+        if out.shape[0] != rows_per_shard:
+            raise ValueError(
+                f"local SpMM rows {out.shape[0]} != rows_per_shard "
+                f"{rows_per_shard}")
+        return out[None]
+
+    out = _local(pair, x.reshape(n_shards, -1, x.shape[1]))
+    return out.reshape(-1, x.shape[-1])[:n_dst]
+
+
+def build_enc_graph_sharded_grouped(pairs, values, n_drug: int,
+                                    n_dis: int, mesh: Mesh, axis: str,
+                                    symm: bool = True,
+                                    ratings=(0, 1)):
+    """BipartiteShardedGrouped builder + device placement."""
+    pairs = np.asarray(pairs)
+    values = np.asarray(values)
+    n_shards = mesh.shape[axis]
+    fwd, rev = [], []
+    for r in ratings:
+        idx = np.where(values == r)[0]
+        dr, di = pairs[0][idx], pairs[1][idx]
+        ones = np.ones(len(idx), np.float32)
+        f, _ = _sharded_grouped_pairs(dr, di, ones, n_drug, n_dis,
+                                      n_shards)
+        b, _ = _sharded_grouped_pairs(di, dr, ones, n_dis, n_drug,
+                                      n_shards)
+        fwd.append(f)
+        rev.append(b)
+
+    deg_drug = np.bincount(pairs[0], minlength=n_drug).astype(np.float32)
+    deg_dis = np.bincount(pairs[1], minlength=n_dis).astype(np.float32)
+    ci_drug = jnp.asarray(inv_sqrt_norm(deg_drug))
+    ci_dis = jnp.asarray(inv_sqrt_norm(deg_dis))
+    cj_drug = ci_drug if symm else jnp.ones((n_drug, 1), jnp.float32)
+    cj_dis = ci_dis if symm else jnp.ones((n_dis, 1), jnp.float32)
+
+    rep = NamedSharding(mesh, P())
+    shd = NamedSharding(mesh, P(axis))
+    put = lambda t: jax.tree.map(lambda a: jax.device_put(a, shd), t)
+    return BipartiteShardedGrouped(
+        fwd=tuple(put(g) for g in fwd), rev=tuple(put(g) for g in rev),
+        ci_drug=jax.device_put(ci_drug, rep),
+        cj_drug=jax.device_put(cj_drug, rep),
+        ci_dis=jax.device_put(ci_dis, rep),
+        cj_dis=jax.device_put(cj_dis, rep),
+        mesh=mesh, axis=axis)

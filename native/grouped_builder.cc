@@ -1,0 +1,180 @@
+// Native grouped-COO layout builder.
+//
+// Host-side construction of the sub-vreg gather kernel's layout
+// (dream_gnn_tpu/graph/grouped.py): edges stable-sorted by
+// (dst_tile, src_subtile), split into groups of <= SUB edges confined
+// to one 128-row source sub-tile, groups batched GROUPS_PER_CHUNK per
+// chunk per dst tile (every dst tile gets at least one chunk — the
+// kernel zeroes each output block on first visit).
+//
+// The NumPy path costs ~16 s at 10M edges (lexsort + a Python loop
+// over ~150k groups); this C++ core does one std::sort plus linear
+// passes (~1 s).  Output contract is bit-identical to the NumPy
+// builder (pinned by tests/test_native_builder.py).
+//
+// C ABI (ctypes, dream_gnn_tpu/graph/native.py):
+//   void*  gb_plan(src, dst, val, n_edges, n_src, n_dst,
+//                  sub, tile_dst, groups_per_chunk)  -> handle
+//   int64  gb_num_chunks(handle)
+//   int64  gb_num_live(handle)
+//   void   gb_fill(handle, g_src, g_dst, g_val, g_eid, g_sub,
+//                  c_dt, c_first)
+//   void   gb_free(handle)
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+struct GPlan {
+  // live edges in (dst_tile, src_subtile, input-order) order
+  std::vector<int32_t> src, dst, eid;
+  std::vector<float> val;
+  // groups: [start, end) edge ranges + subtile; chunks: group ranges
+  std::vector<int64_t> g_start, g_end;
+  std::vector<int32_t> g_sub;
+  std::vector<int64_t> c_gstart, c_gend;  // group-index ranges per chunk
+  std::vector<int32_t> c_dt;
+  int sub = 0, tile_dst = 0, gpc = 0;
+  int64_t n_live = 0;
+};
+
+}  // namespace
+
+extern "C" {
+
+void* gb_plan(const int32_t* src, const int32_t* dst, const float* val,
+              int64_t n_edges, int64_t n_src, int64_t n_dst,
+              int sub, int tile_dst, int groups_per_chunk) {
+  (void)n_src;
+  auto* p = new GPlan;
+  p->sub = sub;
+  p->tile_dst = tile_dst;
+  p->gpc = groups_per_chunk;
+
+  // Live edges keep their compacted input index (the physical edge id
+  // shared between the fwd and transposed layouts).  Sort (key, edge)
+  // pairs by value — contiguous 16-byte records sort ~2x faster than
+  // an index sort whose comparator chases src/dst random-access.
+  struct Rec {
+    int64_t key;   // (dst_tile << 32) | src_subtile
+    int64_t edge;  // input index (tie-break == lexsort stability)
+    bool operator<(const Rec& o) const {
+      return key != o.key ? key < o.key : edge < o.edge;
+    }
+  };
+  std::vector<Rec> recs;
+  recs.reserve(n_edges);
+  std::vector<int32_t> live_id(n_edges);
+  int64_t n_live = 0;
+  for (int64_t e = 0; e < n_edges; ++e) {
+    if (val[e] != 0.0f) {
+      live_id[e] = (int32_t)n_live++;
+      recs.push_back(Rec{
+          ((int64_t)(dst[e] / tile_dst) << 32) | (uint32_t)(src[e] / sub),
+          e});
+    }
+  }
+  p->n_live = n_live;
+  std::sort(recs.begin(), recs.end());
+
+  const int64_t n = (int64_t)recs.size();
+  p->src.resize(n);
+  p->dst.resize(n);
+  p->val.resize(n);
+  p->eid.resize(n);
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t e = recs[i].edge;
+    p->src[i] = src[e];
+    p->dst[i] = dst[e];
+    p->val[i] = val[e];
+    p->eid[i] = live_id[e];
+  }
+
+  // Groups: a new group at every (dt, st) block change and every `sub`
+  // edges within a block.
+  int64_t prev_key = -1;
+  int64_t in_group = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t key =
+        ((int64_t)(p->dst[i] / tile_dst) << 32) | (uint32_t)(p->src[i] / sub);
+    if (key != prev_key || in_group == sub) {
+      if (!p->g_start.empty()) p->g_end.push_back(i);
+      p->g_start.push_back(i);
+      p->g_sub.push_back(p->src[i] / sub);
+      prev_key = key;
+      in_group = 0;
+    }
+    ++in_group;
+  }
+  if (!p->g_start.empty()) p->g_end.push_back(n);
+
+  // Chunks: per dst tile in order (empty tiles get one empty chunk),
+  // GROUPS_PER_CHUNK groups each.  Groups are already in dt order.
+  const int64_t n_tiles = tile_dst > 0 ? (n_dst + tile_dst - 1) / tile_dst
+                                       : 1;
+  const int64_t n_groups = (int64_t)p->g_start.size();
+  int64_t gi = 0;
+  for (int64_t t = 0; t < n_tiles; ++t) {
+    int64_t g0 = gi;
+    while (gi < n_groups &&
+           p->dst[p->g_start[gi]] / tile_dst == (int32_t)t)
+      ++gi;
+    if (g0 == gi) {  // empty tile
+      p->c_gstart.push_back(g0);
+      p->c_gend.push_back(g0);
+      p->c_dt.push_back((int32_t)t);
+      continue;
+    }
+    for (int64_t off = g0; off < gi; off += groups_per_chunk) {
+      p->c_gstart.push_back(off);
+      p->c_gend.push_back(std::min(off + groups_per_chunk, gi));
+      p->c_dt.push_back((int32_t)t);
+    }
+  }
+  return p;
+}
+
+int64_t gb_num_chunks(void* handle) {
+  return (int64_t)((GPlan*)handle)->c_gstart.size();
+}
+
+int64_t gb_num_live(void* handle) { return ((GPlan*)handle)->n_live; }
+
+void gb_fill(void* handle, int32_t* g_src, int32_t* g_dst, float* g_val,
+             int32_t* g_eid, int32_t* g_sub, int32_t* c_dt,
+             int32_t* c_first) {
+  auto* p = (GPlan*)handle;
+  const int64_t c = (int64_t)p->c_gstart.size();
+  const int sub = p->sub, gpc = p->gpc;
+  const int64_t slots = (int64_t)gpc * sub;
+  std::memset(g_src, 0, sizeof(int32_t) * c * slots);
+  std::memset(g_dst, 0, sizeof(int32_t) * c * slots);
+  std::memset(g_val, 0, sizeof(float) * c * slots);
+  std::memset(g_sub, 0, sizeof(int32_t) * c * gpc);
+  // Padding slots carry the sentinel edge id n_live.
+  for (int64_t i = 0; i < c * slots; ++i) g_eid[i] = (int32_t)p->n_live;
+
+  for (int64_t ci = 0; ci < c; ++ci) {
+    c_dt[ci] = p->c_dt[ci];
+    c_first[ci] = (ci == 0 || p->c_dt[ci] != p->c_dt[ci - 1]) ? 1 : 0;
+    for (int64_t g = p->c_gstart[ci]; g < p->c_gend[ci]; ++g) {
+      const int64_t gj = g - p->c_gstart[ci];
+      g_sub[ci * gpc + gj] = p->g_sub[g];
+      const int64_t a = p->g_start[g], b = p->g_end[g];
+      for (int64_t e = a; e < b; ++e) {
+        const int64_t slot = ci * slots + gj * sub + (e - a);
+        g_src[slot] = p->src[e] % sub;
+        g_dst[slot] = p->dst[e] % p->tile_dst;
+        g_val[slot] = p->val[e];
+        g_eid[slot] = p->eid[e];
+      }
+    }
+  }
+}
+
+void gb_free(void* handle) { delete (GPlan*)handle; }
+
+}  // extern "C"

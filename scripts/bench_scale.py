@@ -19,6 +19,12 @@ def main():
     cpu_mesh = "--cpu-mesh" in sys.argv
     small = "--small" in sys.argv
     if cpu_mesh:
+        import os
+
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8").strip()
         import jax
         jax.config.update("jax_platforms", "cpu")
     import jax
@@ -39,9 +45,30 @@ def main():
     feat_dim = 128
 
     grouped = "--grouped" in sys.argv
+    sharded = "--sharded" in sys.argv
+    sharded_grouped = "--sharded-grouped" in sys.argv
     print(f"building {n_drug}x{n_dis} graph, {n_edges} edges"
-          f" (grouped={grouped})...", flush=True)
-    if grouped:
+          f" (grouped={grouped}, sharded={sharded}, "
+          f"sharded_grouped={sharded_grouped})...", flush=True)
+    if sharded or sharded_grouped:
+        import numpy as _np
+
+        from dream_gnn_tpu.sharding.mesh import make_mesh
+        from dream_gnn_tpu.sharding.scale_graph import (
+            build_enc_graph_sharded, build_enc_graph_sharded_grouped)
+
+        n_dev = len(jax.devices())
+        mesh = make_mesh(dp=n_dev, mp=1)
+        rng0 = _np.random.default_rng(0)
+        dr = rng0.integers(0, n_drug, n_edges)
+        di = rng0.integers(0, n_dis, n_edges)
+        vals = (rng0.random(n_edges) < 0.3).astype(_np.float32)
+        build = (build_enc_graph_sharded_grouped if sharded_grouped
+                 else build_enc_graph_sharded)
+        graph = build(_np.stack([dr, di]), vals, n_drug, n_dis,
+                      mesh, "dp")
+        print(f"sharded over {n_dev} device(s)", flush=True)
+    elif grouped:
         import numpy as _np
 
         from dream_gnn_tpu.graph.grouped import build_enc_graph_grouped

@@ -58,6 +58,35 @@ def test_native_matches_numpy(rng, n_dst, n_src, n_edges):
     assert set(dts.tolist()) == set(range(-(-n_dst // TILE_DST)))
 
 
+@pytest.mark.skipif(not native.grouped_available(),
+                    reason="native grouped builder not built")
+@pytest.mark.parametrize("n_dst,n_src,n_edges", [(600, 700, 3000),
+                                                 (1200, 300, 500),
+                                                 (100, 90, 50),
+                                                 (2000, 2000, 40000)])
+def test_native_grouped_bit_matches_numpy(rng, n_dst, n_src, n_edges):
+    """The C++ grouped builder reproduces the NumPy layout EXACTLY
+    (same stable sort, same group/chunk assembly, same edge ids)."""
+    from dream_gnn_tpu.graph.grouped import grouped_from_arrays
+
+    src = rng.integers(0, n_src, n_edges).astype(np.int32)
+    dst = rng.integers(0, n_dst, n_edges).astype(np.int32)
+    val = (rng.random(n_edges) + 0.5).astype(np.float32)
+    # include padding zeros
+    val[:: 17] = 0.0
+
+    g_n = grouped_from_arrays(src, dst, val, n_src, n_dst,
+                              use_native=True)
+    g_p = grouped_from_arrays(src, dst, val, n_src, n_dst,
+                              use_native=False)
+    for field in ("src_local", "dst_local", "val", "edge_id", "subtile",
+                  "dst_tile", "first_of_dst"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(g_n, field)),
+            np.asarray(getattr(g_p, field)), err_msg=field)
+    assert (g_n.n_src, g_n.n_dst) == (g_p.n_src, g_p.n_dst)
+
+
 def test_native_drops_padding(rng):
     src = np.array([0, 1, 2, 3], np.int32)
     dst = np.array([0, 1, 2, 3], np.int32)

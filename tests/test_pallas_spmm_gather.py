@@ -43,6 +43,35 @@ def test_gather_matches_dense(rng, n_dst, n_src, n_edges):
     np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("group_batch", [1, 2, 4, 8, 16])
+def test_group_batch_variants_match(rng, group_batch):
+    """Every group-batch width computes the same SpMM."""
+    src, dst, val = _rand_edges(rng, 600, 700, 3000)
+    a = np.zeros((600, 700), np.float32)
+    np.add.at(a, (dst, src), val)
+    x = rng.normal(size=(700, 128)).astype(np.float32)
+    g = grouped_from_arrays(src, dst, val, 700, 600)
+    out = np.asarray(psg._spmm_gather_raw(g, jnp.asarray(x),
+                                          dtype=jnp.float32,
+                                          group_batch=group_batch))
+    np.testing.assert_allclose(out, a @ x, rtol=1e-4, atol=1e-4)
+
+
+def test_packed_panels_match_bf16(rng):
+    """Packed two-bf16-per-lane panels agree with unpacked panels to
+    bf16 rounding."""
+    src, dst, val = _rand_edges(rng, 600, 700, 3000)
+    a = np.zeros((600, 700), np.float32)
+    np.add.at(a, (dst, src), val)
+    x = rng.normal(size=(700, 128)).astype(np.float32)
+    g = grouped_from_arrays(src, dst, val, 700, 600)
+    ref = a @ np.asarray(jnp.asarray(x).astype(jnp.bfloat16)
+                         .astype(jnp.float32))
+    out = np.asarray(psg._spmm_gather_raw(g, jnp.asarray(x),
+                                          dtype=jnp.float32, packed=True))
+    np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
+
+
 def test_gather_grad_is_transpose(rng):
     src, dst, val = _rand_edges(rng, 300, 250, 1500)
     a = np.zeros((300, 250), np.float32)
