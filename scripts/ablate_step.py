@@ -5,6 +5,8 @@ Identical-arg microbenchmarks are unreliable through the axon relay
 compiled scan with threaded state — the same harness bench.py uses.
 """
 
+import _bootstrap  # noqa: F401  (repo root on sys.path)
+
 import dataclasses
 import sys
 import time

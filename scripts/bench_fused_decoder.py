@@ -1,5 +1,7 @@
 """Fused Pallas decoder on the TPU: numerics + speed vs XLA path."""
 
+import _bootstrap  # noqa: F401  (repo root on sys.path)
+
 import time
 
 import jax

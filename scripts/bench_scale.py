@@ -8,6 +8,8 @@ Run on one TPU chip by default; pass --cpu-mesh to exercise the
 not a perf number).
 """
 
+import _bootstrap  # noqa: F401  (repo root on sys.path)
+
 import dataclasses
 import sys
 import time

@@ -10,6 +10,8 @@ devices (compile/correctness only — virtual-device timings are not
 perf numbers).
 """
 
+import _bootstrap  # noqa: F401  (repo root on sys.path)
+
 import sys
 import time
 

@@ -1,5 +1,7 @@
 """Blocked Pallas SpMM vs XLA segment-sum on the TPU (scale config)."""
 
+import _bootstrap  # noqa: F401  (repo root on sys.path)
+
 import sys
 import time
 

@@ -6,6 +6,8 @@ config.  Run after kernel changes to pick the production defaults in
 kernels/pallas_spmm_gather.py (GROUP_BATCH / PACK_PANELS).
 """
 
+import _bootstrap  # noqa: F401  (repo root on sys.path)
+
 import sys
 import time
 

@@ -5,6 +5,8 @@ _dropout_mask): with the bug, train-mode output magnitudes collapse
 ~3.5x below eval-mode; fixed, inverted dropout keeps them comparable.
 """
 
+import _bootstrap  # noqa: F401  (repo root on sys.path)
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -1,5 +1,7 @@
 """Optimization experiments for the decoder-dominated train step."""
 
+import _bootstrap  # noqa: F401  (repo root on sys.path)
+
 import dataclasses
 import time
 

@@ -1,5 +1,7 @@
 """Probe: compile/time one jitted train step with the pallas decoder."""
 
+import _bootstrap  # noqa: F401  (repo root on sys.path)
+
 import dataclasses
 import sys
 import time

@@ -1,5 +1,7 @@
 """Decompose the lrssl train-step time on the TPU chip."""
 
+import _bootstrap  # noqa: F401  (repo root on sys.path)
+
 import time
 
 import jax
