@@ -134,7 +134,7 @@ def gcmc_layer_apply(params, graph: BipartiteGraph,
             from dream_gnn_tpu.graph.grouped import BipartiteGrouped
             from dream_gnn_tpu.sharding.scale_graph import (
                 BipartiteSharded, BipartiteShardedGrouped,
-                spmm_gather_sharded)
+                spmm_gather_sharded, spmm_gather_sharded_ring)
 
             if isinstance(graph, BipartiteShardedGrouped):
                 # Production multi-chip scale path: per-shard Pallas
@@ -163,10 +163,14 @@ def gcmc_layer_apply(params, graph: BipartiteGraph,
                     g_f = _mask_pair(g_f, edge_masks["fwd_salts"][r])
                     g_r = _mask_pair(g_r, edge_masks["rev_salts"][r])
                 n_shards = graph.mesh.shape[graph.axis]
-                msg_dis = msg_dis + spmm_gather_sharded(
+                # ring=True: double-buffered ppermute halo exchange
+                # overlapped with the per-block local aggregation.
+                spmm_sh = (spmm_gather_sharded_ring if graph.ring
+                           else spmm_gather_sharded)
+                msg_dis = msg_dis + spmm_sh(
                     graph.mesh, graph.axis, g_f, hd * cj_d,
                     graph.n_dis, -(-graph.n_dis // n_shards))
-                msg_drug = msg_drug + spmm_gather_sharded(
+                msg_drug = msg_drug + spmm_sh(
                     graph.mesh, graph.axis, g_r, hv * cj_v,
                     graph.n_drug, -(-graph.n_drug // n_shards))
             elif isinstance(graph, BipartiteSharded):

@@ -145,7 +145,13 @@ class BipartiteShardedGrouped:
     Every GroupedCoo leaf carries a leading shard axis S (chunk counts
     padded to the max across shards); edge_id is globalised with a
     per-shard base so PRF edge-dropout masks stay iid across shards and
-    consistent between each shard's fwd/bwd layouts."""
+    consistent between each shard's fwd/bwd layouts.
+
+    ``ring=True`` marks the overlapped-halo layout: leaves carry
+    (S, J=S, ...) with sub-block j of dst-shard s holding the edges
+    whose sources live in src-block (s + j) % S, in ring-schedule
+    order (see ``spmm_gather_sharded_ring``).  Ring graphs store node
+    counts explicitly (sub-blocks are src-block-local)."""
 
     fwd: tuple        # tuple[GroupedCooPair], leaves (S, ...)
     rev: tuple
@@ -155,14 +161,20 @@ class BipartiteShardedGrouped:
     cj_dis: jnp.ndarray
     mesh: Mesh = dataclasses.field(metadata=dict(static=True))
     axis: str = dataclasses.field(metadata=dict(static=True))
+    ring: bool = dataclasses.field(default=False,
+                                   metadata=dict(static=True))
+    n_drug_: int = dataclasses.field(default=0,
+                                     metadata=dict(static=True))
+    n_dis_: int = dataclasses.field(default=0,
+                                    metadata=dict(static=True))
 
     @property
     def n_drug(self) -> int:
-        return self.fwd[0].fwd.n_src     # fwd relation: src = drug
+        return self.n_drug_ or self.fwd[0].fwd.n_src  # fwd src = drug
 
     @property
     def n_dis(self) -> int:
-        return self.rev[0].fwd.n_src     # rev relation: src = disease
+        return self.n_dis_ or self.rev[0].fwd.n_src   # rev src = disease
 
     @property
     def num_ratings(self) -> int:
@@ -197,6 +209,93 @@ def _sharded_grouped_pairs(src, dst, val, n_src: int, n_dst: int,
                             bwd=_pad_chunks(p.bwd, cb, base))
              for p in pairs]
     return jax.tree.map(lambda *ls: jnp.stack(ls), *pairs), rps
+
+
+def _sharded_grouped_pairs_ring(src, dst, val, n_src: int, n_dst: int,
+                                n_shards: int):
+    """(S, J=S) grid of GroupedCooPairs for the overlapped halo
+    exchange: for dst-shard s, sub-block j holds the edges whose src
+    falls in block (s + j) % S, with *block-local* src indices — the
+    order each shard consumes source blocks as the ring rotates.
+    Returns (stacked pair with leading (S, J) axes, rows_per_dst_shard,
+    rows_per_src_block)."""
+    import dataclasses as _dc
+
+    from dream_gnn_tpu.graph.grouped import (GroupedCooPair,
+                                             grouped_pair_from_arrays)
+
+    rps_dst = -(-n_dst // n_shards)
+    rps_src = -(-n_src // n_shards)
+    grid = []
+    base = 0
+    for s in range(n_shards):
+        row = []
+        for j in range(n_shards):
+            b = (s + j) % n_shards
+            m = ((dst // rps_dst) == s) & ((src // rps_src) == b)
+            p = grouped_pair_from_arrays(
+                src[m] - b * rps_src, dst[m] - s * rps_dst, val[m],
+                rps_src, rps_dst)
+            n_local = int(m.sum())
+            p = GroupedCooPair(
+                fwd=_dc.replace(p.fwd, edge_id=p.fwd.edge_id + base),
+                bwd=_dc.replace(p.bwd, edge_id=p.bwd.edge_id + base))
+            row.append(p)
+            base += n_local
+        grid.append(row)
+    cf = max(p.fwd.n_chunks for row in grid for p in row)
+    cb = max(p.bwd.n_chunks for row in grid for p in row)
+    grid = [[GroupedCooPair(fwd=_pad_chunks(p.fwd, cf, base),
+                            bwd=_pad_chunks(p.bwd, cb, base))
+             for p in row] for row in grid]
+    rows = [jax.tree.map(lambda *ls: jnp.stack(ls), *row) for row in grid]
+    return jax.tree.map(lambda *ls: jnp.stack(ls), *rows), rps_dst, rps_src
+
+
+def spmm_gather_sharded_ring(mesh: Mesh, axis: str, pair,
+                             x: jnp.ndarray, n_dst: int,
+                             rows_per_shard: int) -> jnp.ndarray:
+    """Dst-sharded SpMM with the halo exchange OVERLAPPED with local
+    aggregation (BASELINE.json config 5: "all-to-all overlapped with
+    local aggregation", SURVEY §7.2.8 "double-buffered overlap").
+
+    Source rows stay sharded: at ring step j each shard aggregates the
+    edge sub-block whose source block is currently resident while
+    ``ppermute`` rotates the next block over ICI.  The permute and the
+    Pallas gather kernel have no data dependence, so XLA's
+    latency-hiding scheduler runs them concurrently — peak memory is
+    2 source blocks instead of the full all-gathered matrix, and the
+    interconnect rides under the compute.  Backward transposes to the
+    reverse ring automatically (custom VJP per sub-block + ppermute
+    transpose)."""
+    from functools import partial
+
+    from jax import shard_map
+
+    from dream_gnn_tpu.kernels.pallas_spmm_gather import spmm_gather
+
+    n_shards = mesh.shape[axis]
+    rps_src = pair.fwd.n_src          # static: src rows per block
+    d = x.shape[1]
+    n_pad_src = n_shards * rps_src
+    if x.shape[0] != n_pad_src:
+        x = jnp.pad(x, ((0, n_pad_src - x.shape[0]), (0, 0)))
+    perm = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+
+    @partial(shard_map, mesh=mesh, in_specs=(P(axis), P(axis)),
+             out_specs=P(axis), check_vma=False)
+    def _local(pair_block, x_block):
+        buf = x_block[0]                            # (rps_src, d)
+        acc = jnp.zeros((rows_per_shard, d), jnp.float32)
+        for j in range(n_shards):
+            sub = jax.tree.map(lambda a: a[0, j], pair_block)
+            acc = acc + spmm_gather(sub, buf)
+            if j < n_shards - 1:
+                buf = jax.lax.ppermute(buf, axis, perm)
+        return acc[None]
+
+    out = _local(pair, x.reshape(n_shards, rps_src, d))
+    return out.reshape(-1, d)[:n_dst]
 
 
 def spmm_gather_sharded(mesh: Mesh, axis: str, pair, x: jnp.ndarray,
@@ -239,22 +338,23 @@ def spmm_gather_sharded(mesh: Mesh, axis: str, pair, x: jnp.ndarray,
 def build_enc_graph_sharded_grouped(pairs, values, n_drug: int,
                                     n_dis: int, mesh: Mesh, axis: str,
                                     symm: bool = True,
-                                    ratings=(0, 1)):
-    """BipartiteShardedGrouped builder + device placement."""
+                                    ratings=(0, 1), ring: bool = False):
+    """BipartiteShardedGrouped builder + device placement.  With
+    ``ring=True``, edges are additionally partitioned by source block
+    in ring-schedule order for the overlapped halo exchange
+    (``spmm_gather_sharded_ring``)."""
     pairs = np.asarray(pairs)
     values = np.asarray(values)
     n_shards = mesh.shape[axis]
+    build = (lambda *a: _sharded_grouped_pairs_ring(*a)[0]) if ring \
+        else (lambda *a: _sharded_grouped_pairs(*a)[0])
     fwd, rev = [], []
     for r in ratings:
         idx = np.where(values == r)[0]
         dr, di = pairs[0][idx], pairs[1][idx]
         ones = np.ones(len(idx), np.float32)
-        f, _ = _sharded_grouped_pairs(dr, di, ones, n_drug, n_dis,
-                                      n_shards)
-        b, _ = _sharded_grouped_pairs(di, dr, ones, n_dis, n_drug,
-                                      n_shards)
-        fwd.append(f)
-        rev.append(b)
+        fwd.append(build(dr, di, ones, n_drug, n_dis, n_shards))
+        rev.append(build(di, dr, ones, n_dis, n_drug, n_shards))
 
     deg_drug = np.bincount(pairs[0], minlength=n_drug).astype(np.float32)
     deg_dis = np.bincount(pairs[1], minlength=n_dis).astype(np.float32)
@@ -272,4 +372,5 @@ def build_enc_graph_sharded_grouped(pairs, values, n_drug: int,
         cj_drug=jax.device_put(cj_drug, rep),
         ci_dis=jax.device_put(ci_dis, rep),
         cj_dis=jax.device_put(cj_dis, rep),
-        mesh=mesh, axis=axis)
+        mesh=mesh, axis=axis, ring=ring,
+        n_drug_=n_drug if ring else 0, n_dis_=n_dis if ring else 0)

@@ -200,3 +200,134 @@ def test_sharded_no_aug_step_matches_coo(setup):
         return float(loss)
 
     assert run(sharded) == pytest.approx(run(coo), rel=1e-5)
+
+
+def _ring_setup(setup):
+    """Interpret-mode ring tests run S^2 sub-block kernels per relation
+    direction; shrink to a 4-device mesh and 2 layers to keep the suite
+    fast while still exercising a real multi-step ring."""
+    import dataclasses as _dc
+    dataset, model_cfg, params, _ = setup
+    model_cfg = _dc.replace(model_cfg, layers=2)
+    params = init_params(jax.random.key(0), model_cfg)
+    mesh = make_mesh(dp=4, mp=1, devices=jax.devices()[:4])
+    return dataset, model_cfg, params, mesh
+
+
+def test_ring_forward_matches_coo(setup):
+    """Ring-overlapped halo exchange (ppermute double-buffering,
+    interpret-mode gather kernel) matches the COO path."""
+    import dream_gnn_tpu.kernels.pallas_spmm_gather as psg
+
+    from dream_gnn_tpu.sharding.scale_graph import \
+        build_enc_graph_sharded_grouped
+
+    dataset, model_cfg, params, mesh = _ring_setup(setup)
+    inputs, _, _, _ = fold_inputs(dataset, 0)
+    split = dataset.splits[0]
+    coo = build_enc_graph_coo(split.train_pairs, split.train_values,
+                              dataset.n_drug, dataset.n_dis)
+    shg = build_enc_graph_sharded_grouped(
+        split.train_pairs, split.train_values, dataset.n_drug,
+        dataset.n_dis, mesh, "dp", ring=True)
+    assert shg.ring and shg.n_drug == dataset.n_drug \
+        and shg.n_dis == dataset.n_dis
+
+    old = psg.INTERPRET
+    psg.INTERPRET = True
+    try:
+        coo_out = forward(params,
+                          dataclasses.replace(inputs, enc_graph=coo),
+                          model_cfg, train=False)
+        sh_out = jax.jit(lambda p, i: forward(p, i, model_cfg,
+                                              train=False))(
+            params, dataclasses.replace(inputs, enc_graph=shg))
+        for a, b in zip(coo_out, sh_out):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=5e-2, atol=5e-3)
+    finally:
+        psg.INTERPRET = old
+
+
+def test_ring_train_step_with_augmentation(setup):
+    """Full augmented train step (PRF edge dropout) on the ring
+    layout: finite loss, and the backward ring (transposed ppermute)
+    produces moving params."""
+    import dream_gnn_tpu.kernels.pallas_spmm_gather as psg
+
+    from dream_gnn_tpu.sharding.scale_graph import \
+        build_enc_graph_sharded_grouped
+    from dream_gnn_tpu.train.optim import make_optimizer
+    from dream_gnn_tpu.train.step import TrainState, make_one_step
+
+    dataset, model_cfg, params, mesh = _ring_setup(setup)
+    cfg = TrainConfig()
+    inputs, _, labels, _ = fold_inputs(dataset, 0)
+    split = dataset.splits[0]
+    shg = build_enc_graph_sharded_grouped(
+        split.train_pairs, split.train_values, dataset.n_drug,
+        dataset.n_dis, mesh, "dp", ring=True)
+
+    tx = make_optimizer(cfg.train_grad_clip, cfg.weight_decay)
+    one_step = make_one_step(model_cfg, cfg, tx)
+    state = TrainState(params=params, opt_state=tx.init(params),
+                       key=jax.random.key(1),
+                       lr=jnp.asarray(cfg.train_lr))
+    w = dataset.fold(0).train_w
+    old = psg.INTERPRET
+    psg.INTERPRET = True
+    try:
+        state2, loss = jax.jit(one_step)(
+            state, dataclasses.replace(inputs, enc_graph=shg), labels, w)
+        assert np.isfinite(float(loss))
+        delta = jax.tree.reduce(
+            lambda acc, x: acc + float(jnp.sum(jnp.abs(x))),
+            jax.tree.map(jnp.subtract, state2.params, params), 0.0)
+        assert delta > 0.0
+    finally:
+        psg.INTERPRET = old
+
+
+def test_ring_no_dropout_loss_matches_coo(setup):
+    """Augmentation and dropout off: one ring-layout train step
+    reproduces the COO-path loss exactly (fwd AND bwd numerics)."""
+    import dream_gnn_tpu.kernels.pallas_spmm_gather as psg
+
+    from dream_gnn_tpu.sharding.scale_graph import \
+        build_enc_graph_sharded_grouped
+    from dream_gnn_tpu.train.optim import make_optimizer
+    from dream_gnn_tpu.train.step import TrainState, make_one_step
+
+    dataset, model_cfg, params, mesh = _ring_setup(setup)
+    cfg = TrainConfig(augment=AugmentConfig(methods=()))
+    model_nodrop = dataclasses.replace(model_cfg, dropout=0.0,
+                                       attention_dropout=0.0)
+    inputs, _, labels, _ = fold_inputs(dataset, 0)
+    split = dataset.splits[0]
+    coo = build_enc_graph_coo(split.train_pairs, split.train_values,
+                              dataset.n_drug, dataset.n_dis)
+    shg = build_enc_graph_sharded_grouped(
+        split.train_pairs, split.train_values, dataset.n_drug,
+        dataset.n_dis, mesh, "dp", ring=True)
+
+    tx = make_optimizer(cfg.train_grad_clip, cfg.weight_decay)
+    one_step = make_one_step(model_nodrop, cfg, tx)
+    w = dataset.fold(0).train_w
+
+    def run(graph):
+        state = TrainState(params=params, opt_state=tx.init(params),
+                           key=jax.random.key(1),
+                           lr=jnp.asarray(cfg.train_lr))
+        state, loss = jax.jit(one_step)(
+            state, dataclasses.replace(inputs, enc_graph=graph),
+            labels, w)
+        return float(loss)
+
+    old = psg.INTERPRET
+    psg.INTERPRET = True
+    try:
+        # gather kernel uses bf16 scatter-matmul operands on both paths
+        # only on the grouped layouts; COO path is fp32 -> loose rel tol
+        assert run(shg) == pytest.approx(run(coo), rel=2e-2)
+    finally:
+        psg.INTERPRET = old
