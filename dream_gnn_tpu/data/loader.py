@@ -118,6 +118,23 @@ class DreamDataset:
                    embedding_mode=embedding_mode,
                    kfold_seed=kfold_seed)
 
+    # Property API parity with the reference loader
+    # (/root/reference/data_loader.py:584-597).  ``num_drug``/
+    # ``num_disease`` duplicate the ctor attributes under the reference
+    # names; ``num_links`` is the number of distinct association values
+    # (len(np.unique(association_matrix)) — 2 for binary data).
+    @property
+    def num_drug(self) -> int:
+        return self.n_drug
+
+    @property
+    def num_disease(self) -> int:
+        return self.n_dis
+
+    @property
+    def num_links(self) -> int:
+        return int(len(np.unique(self.raw.association)))
+
     def augment_features(self, key, augment_cfg=None):
         """Loader-side feature augmentation (data_loader.py:511-542):
         Gaussian noise -> masking -> optional mixup over the normalised

@@ -44,3 +44,16 @@ def test_split_matches_reference_kfold():
             [np.stack([pos_row[tr_p], pos_col[tr_p]]),
              np.stack([neg_row[tr_n], neg_col[tr_n]])], axis=1)
         np.testing.assert_array_equal(splits[cv].train_pairs, expected_train)
+
+
+def test_loader_property_api():
+    """Reference property parity: num_drug / num_disease / num_links
+    (/root/reference/data_loader.py:584-597)."""
+    from dream_gnn_tpu.data.loader import DreamDataset
+
+    raw = synthetic_raw_data(n_drug=30, n_dis=20, n_pos=60, seed=1)
+    ds = DreamDataset(raw, pad_folds=False)
+    assert ds.num_drug == 30
+    assert ds.num_disease == 20
+    # Binary association matrix -> two distinct link values.
+    assert ds.num_links == 2
