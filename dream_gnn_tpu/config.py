@@ -142,6 +142,10 @@ class TrainConfig:
     # Periodic full-state checkpointing for preemption recovery (0 =
     # off); must be a multiple of train_valid_interval to take effect.
     checkpoint_every: int = 0
+    # Resume from checkpoints found under save_dir (written by
+    # checkpoint_every); a preempted protocol run continues where it
+    # stopped with an identical PRNG/optimizer/LR-schedule stream.
+    resume: bool = False
 
     model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
     augment: AugmentConfig = dataclasses.field(default_factory=AugmentConfig)

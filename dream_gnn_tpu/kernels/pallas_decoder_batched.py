@@ -253,11 +253,67 @@ fused_decoder_batched.defvjp(_fused_decoder_batched_fwd,
                              _fused_decoder_batched_bwd)
 
 
+def fused_decoder_batched_spmd(mesh, fold_axis, shard_axis, proj_drug,
+                               proj_dis, b1, w2, b2, w3, b3, edges, seed,
+                               rate: float, train: bool, dtype):
+    """SPMD partitioning rule for the fold-batched fused decoder.
+
+    The kernel itself is purely per-edge, so the natural layout is the
+    stacked-fold sharding (sharding/partition.py): the fold axis over
+    ``fold_axis`` (dp) and the edge dimension over ``shard_axis`` (mp).
+    Each device runs the unmodified kernel on its (F/dp, E/mp) block;
+    shard_map's reverse-mode transpose inserts the psum over
+    ``shard_axis`` for the projection-table/weight gradients (they are
+    replicated along the edge shards).  Both axes are padded up to
+    divisibility and the pad edges' logits sliced away (their cotangent
+    is zero, so they add nothing to any gradient).
+
+    Dropout: each edge shard offsets the per-fold seed by its
+    ``shard_axis`` index so shards draw independent streams — with
+    dropout on, the multi-chip stream differs from (but is distributed
+    identically to) the single-chip kernel's.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    dp_n = mesh.shape[fold_axis]
+    mp_n = mesh.shape[shard_axis]
+    f, _, e = edges.shape
+    f_pad = _round_up(f, dp_n)
+    e_pad = _round_up(e, mp_n)
+
+    def padf(x):
+        return jnp.pad(x, ((0, f_pad - f),) + ((0, 0),) * (x.ndim - 1))
+
+    edges_p = jnp.pad(edges, ((0, f_pad - f), (0, 0), (0, e_pad - e)))
+
+    def local(pdl, pvl, b1l, w2l, b2l, w3l, b3l, el, sl):
+        sl = sl + jax.lax.axis_index(shard_axis).astype(jnp.int32) \
+            * jnp.int32(1000003)
+        return fused_decoder_batched(pdl, pvl, b1l, w2l, b2l, w3l, b3l,
+                                     el, sl, rate, train, dtype)
+
+    fold = lambda *rest: P(fold_axis, *rest)            # noqa: E731
+    # check_vma=False: pallas_call carries no varying-mesh-axes info;
+    # gradient psums still come from the in_specs (verified against the
+    # XLA decoder in tests/test_decoder_spmd.py).
+    logits = jax.shard_map(
+        local, mesh=mesh, check_vma=False,
+        in_specs=(fold(None, None), fold(None, None), fold(None),
+                  fold(None, None), fold(None), fold(None), fold(None),
+                  fold(None, shard_axis), fold()),
+        out_specs=fold(shard_axis),
+    )(padf(proj_drug), padf(proj_dis), padf(b1), padf(w2), padf(b2),
+      padf(w3), padf(b3), edges_p, padf(seed))
+    return logits[:f, :e]
+
+
 def decoder_apply_fused_batched(params, edge_src, edge_dst, drug_feat,
                                 dis_feat, *, dropout_rate: float,
                                 train: bool = False,
                                 key: Optional[jax.Array] = None,
-                                dtype=jnp.bfloat16):
+                                dtype=jnp.bfloat16, mesh=None,
+                                fold_axis: str = "dp",
+                                shard_axis: str = "mp"):
     """Fold-batched drop-in for nn.decoder.decoder_apply.
 
     All of ``params`` (leaves), ``edge_src``/``edge_dst`` (F, E),
@@ -265,6 +321,11 @@ def decoder_apply_fused_batched(params, edge_src, edge_dst, drug_feat,
     leading fold axis.  Per-fold dropout seeds derive from ``key``
     exactly like the single-fold fused path, so fold f's stream matches
     a single-fold kernel launch with the same key.
+
+    With ``mesh`` the kernel runs under its shard_map partitioning rule
+    (fold axis -> ``fold_axis``, edge dim -> ``shard_axis``; see
+    fused_decoder_batched_spmd) instead of falling back to the XLA
+    decoder on the multi-chip path.
     """
     n_nodes = max(drug_feat.shape[1], dis_feat.shape[1])
     if n_nodes > MAX_ONEHOT_NODES:
@@ -289,6 +350,12 @@ def decoder_apply_fused_batched(params, edge_src, edge_dst, drug_feat,
             k, (), 0, np.iinfo(np.int32).max, dtype=jnp.int32))(key)
     else:
         seed = jnp.zeros((n_folds,), jnp.int32)
+    if mesh is not None:
+        return fused_decoder_batched_spmd(
+            mesh, fold_axis, shard_axis, proj_drug, proj_dis,
+            params["b1"], params["w2"], params["b2"],
+            params["w3"][:, :, 0], params["b3"], edges, seed,
+            dropout_rate, train, dtype)
     logits = fused_decoder_batched(
         proj_drug, proj_dis, params["b1"], params["w2"], params["b2"],
         params["w3"][:, :, 0], params["b3"], edges, seed,

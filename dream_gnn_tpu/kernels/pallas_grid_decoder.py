@@ -515,13 +515,72 @@ fused_grid_decoder_batched.defvjp(_fused_grid_decoder_b_fwd,
                                   _fused_grid_decoder_b_bwd)
 
 
+def fused_grid_decoder_batched_spmd(mesh, fold_axis, shard_axis,
+                                    proj_drug, proj_dis, b1, w2, b2, w3,
+                                    seed, rate: float, train: bool, dtype):
+    """SPMD partitioning rule for the fold-batched grid decoder.
+
+    Matches the stacked-fold mesh layout (sharding/partition.py): fold
+    axis -> ``fold_axis`` (dp), the disease/node dimension ->
+    ``shard_axis`` (mp).  Each device decodes its (F/dp, Nd, Nv/mp)
+    grid block with the unmodified kernel; shard_map's transpose
+    inserts the psum over ``shard_axis`` for the drug-projection and
+    MLP-weight gradients (replicated along the disease shards) while
+    the disease-projection gradient stays local.  Fold and disease
+    dims are padded to divisibility; pad cells are sliced away (zero
+    cotangent -> zero gradient contribution).
+
+    Dropout: each disease shard offsets the per-fold seed by its
+    ``shard_axis`` index — independent streams per shard, but a
+    different (equally distributed) stream than single-chip.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    dp_n = mesh.shape[fold_axis]
+    mp_n = mesh.shape[shard_axis]
+    f, nd, _ = proj_drug.shape
+    nv = proj_dis.shape[1]
+    f_pad = _round_up(f, dp_n)
+    nv_pad = _round_up(nv, mp_n)
+
+    def padf(x):
+        return jnp.pad(x, ((0, f_pad - f),) + ((0, 0),) * (x.ndim - 1))
+
+    pv_p = jnp.pad(proj_dis, ((0, f_pad - f), (0, nv_pad - nv), (0, 0)))
+
+    def local(pdl, pvl, b1l, w2l, b2l, w3l, sl):
+        sl = sl + jax.lax.axis_index(shard_axis).astype(jnp.int32) \
+            * jnp.int32(1000003)
+        return fused_grid_decoder_batched(pdl, pvl, b1l, w2l, b2l, w3l,
+                                          sl, rate, train, dtype)
+
+    fold = lambda *rest: P(fold_axis, *rest)            # noqa: E731
+    # check_vma=False: pallas_call carries no varying-mesh-axes info;
+    # gradient psums still come from the in_specs (verified against the
+    # XLA decoder in tests/test_decoder_spmd.py).
+    logits = jax.shard_map(
+        local, mesh=mesh, check_vma=False,
+        in_specs=(fold(None, None), fold(shard_axis, None), fold(None),
+                  fold(None, None), fold(None), fold(None), fold()),
+        out_specs=fold(None, shard_axis),
+    )(padf(proj_drug), pv_p, padf(b1), padf(w2), padf(b2), padf(w3),
+      padf(seed))
+    return logits[:f, :, :nv]
+
+
 def decoder_apply_grid_fused_batched(params, drug_feat, dis_feat, *,
                                      dropout_rate: float,
                                      train: bool = False,
                                      key: Optional[jax.Array] = None,
-                                     dtype=jnp.bfloat16):
+                                     dtype=jnp.bfloat16, mesh=None,
+                                     fold_axis: str = "dp",
+                                     shard_axis: str = "mp"):
     """Fold-batched fused grid decode; params leaves, features (F,N,d),
-    and key (F,) carry a leading fold axis.  Returns (F, Nd, Nv)."""
+    and key (F,) carry a leading fold axis.  Returns (F, Nd, Nv).
+
+    With ``mesh`` the kernel runs under its shard_map partitioning
+    rule (fused_grid_decoder_batched_spmd) instead of falling back to
+    the XLA decoder on the multi-chip path."""
     d = drug_feat.shape[2]
     w1 = params["w1"]
     proj_drug = jnp.einsum("fnd,fdh->fnh", drug_feat.astype(dtype),
@@ -537,7 +596,13 @@ def decoder_apply_grid_fused_batched(params, drug_feat, dis_feat, *,
             k, (), 0, np.iinfo(np.int32).max, dtype=jnp.int32))(key)
     else:
         seed = jnp.zeros((n_folds,), jnp.int32)
-    logits = fused_grid_decoder_batched(
-        proj_drug, proj_dis, params["b1"], params["w2"], params["b2"],
-        params["w3"][:, :, 0], seed, dropout_rate, train, dtype)
+    if mesh is not None:
+        logits = fused_grid_decoder_batched_spmd(
+            mesh, fold_axis, shard_axis, proj_drug, proj_dis,
+            params["b1"], params["w2"], params["b2"],
+            params["w3"][:, :, 0], seed, dropout_rate, train, dtype)
+    else:
+        logits = fused_grid_decoder_batched(
+            proj_drug, proj_dis, params["b1"], params["w2"], params["b2"],
+            params["w3"][:, :, 0], seed, dropout_rate, train, dtype)
     return logits + params["b3"][:, :, None]

@@ -180,7 +180,7 @@ def forward(params, inputs: ModelInputs, cfg: ModelConfig, *,
 
 def forward_stacked(params, inputs: ModelInputs, cfg: ModelConfig, *,
                     train: bool = False, key: Optional[jax.Array] = None,
-                    edge_masks=None):
+                    edge_masks=None, mesh=None):
     """Fold-batched forward: every array (params leaves, input leaves,
     ``key``, ``edge_masks`` leaves) carries a leading fold axis F.
 
@@ -189,6 +189,12 @@ def forward_stacked(params, inputs: ModelInputs, cfg: ModelConfig, *,
     dispatches to the fold-batched fused kernel when the backend is
     'pallas', else to the vmapped XLA decoder.  PRNG key threading per
     fold is identical to ``forward`` (same split sizes and indices).
+
+    ``mesh``: the dp x mp device mesh of the multi-chip path — the
+    fused Pallas decoders then run under their shard_map partitioning
+    rules (fold axis -> dp, edge/disease dim -> mp; see
+    kernels/pallas_decoder_batched.py:fused_decoder_batched_spmd) while
+    the encoder is GSPMD-partitioned by XLA as usual.
 
     Returns (pred (F, E), drug_out, drug_sim_out, dis_out, dis_sim_out)
     with leading fold axes.
@@ -220,7 +226,7 @@ def forward_stacked(params, inputs: ModelInputs, cfg: ModelConfig, *,
             pred = decoder_apply_grid_fused_batched(
                 params["decoder"], drug_feats, dis_feats,
                 dropout_rate=cfg.dropout, train=train, key=dec_keys,
-                dtype=jnp.dtype(cfg.compute_dtype))
+                dtype=jnp.dtype(cfg.compute_dtype), mesh=mesh)
         elif train:
             pred = jax.vmap(lambda p, df, vf, k: decoder_apply_grid(
                 p, df, vf, dropout_rate=cfg.dropout, train=True, key=k,
@@ -243,7 +249,7 @@ def forward_stacked(params, inputs: ModelInputs, cfg: ModelConfig, *,
         pred = decoder_apply_fused_batched(
             params["decoder"], inputs.dec_src, inputs.dec_dst,
             drug_feats, dis_feats, dropout_rate=cfg.dropout, train=train,
-            key=dec_keys, dtype=jnp.dtype(cfg.compute_dtype))
+            key=dec_keys, dtype=jnp.dtype(cfg.compute_dtype), mesh=mesh)
     elif train:
         pred = jax.vmap(lambda p, s, d, df, vf, k: decoder_apply(
             p, s, d, df, vf, dropout_rate=cfg.dropout, train=True,

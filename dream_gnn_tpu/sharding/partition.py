@@ -113,23 +113,22 @@ def make_multichip_train_fns(mesh: Mesh, model_cfg: ModelConfig,
     fold-batched step + both evals in ONE dispatch) compiled over a
     dp x mp mesh: the fold axis shards over ``dp`` and the disease
     node/edge dimensions over ``mp`` (see stacked_input_sharding); XLA
-    inserts the ICI collectives for cross-shard contractions.  The
-    fused Pallas decoders have no SPMD partitioning rules, so this
-    path forces the XLA decoder lowerings (both decode modes work).
+    inserts the ICI collectives for cross-shard contractions.  With
+    ``decoder_backend='pallas'`` the fused decoders run under their
+    shard_map partitioning rules (fold -> dp, edge/disease dim -> mp;
+    kernels/pallas_decoder_batched.py:fused_decoder_batched_spmd and
+    kernels/pallas_grid_decoder.py:fused_grid_decoder_batched_spmd) —
+    the measured single-chip decoder fusion win carries to the mesh.
 
     Returns ``(init_state, run_steps, run_interval)`` with the stacked
     signatures; ``init_state`` takes the per-fold key stack and returns
     a mesh-sharded TrainState.  Shard the data with
     ``shard_stacked(mesh, stacked)`` first.
     """
-    import dataclasses
-
     from dream_gnn_tpu.train.stacked import make_stacked_train_fns
 
-    if model_cfg.decoder_backend != "xla":
-        model_cfg = dataclasses.replace(model_cfg, decoder_backend="xla")
     init_state, run_steps, run_interval = make_stacked_train_fns(
-        model_cfg, train_cfg)
+        model_cfg, train_cfg, mesh=mesh)
 
     def init_sharded(fold_keys) -> TrainState:
         return shard_state(mesh, init_state(fold_keys))

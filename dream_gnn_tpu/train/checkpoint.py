@@ -34,20 +34,27 @@ def load_pytree(path: str):
 
 
 def save_train_state(path: str, state, step: int,
-                     scheduler=None) -> None:
+                     scheduler=None, extra=None) -> None:
     """Checkpoint a TrainState (params + opt state + PRNG key + lr)
     plus, when given, the host-side plateau scheduler's (lr, best,
     num_bad) — without it a resumed run would silently reset the LR
-    schedule.
+    schedule.  ``extra``: any additional pytree to restore alongside
+    (best-by-AUPR bookkeeping, per-fold scheduler stacks, ...).
 
     PRNG keys are extended-dtype arrays; they are stored as raw key
     data plus the impl name and re-wrapped on load.
+
+    The write is atomic (tmp file + rename) so a preemption mid-write
+    never corrupts the previous checkpoint.
     """
+    import os
+
     impl = str(jax.random.key_impl(state.key))
     sched = (np.asarray([scheduler.lr, scheduler.best,
                          float(scheduler.num_bad)])
              if scheduler is not None else np.zeros(0))
-    save_pytree(path, {
+    tmp = path + ".tmp"
+    save_pytree(tmp, {
         "params": state.params,
         "opt_state": state.opt_state,
         "lr": state.lr,
@@ -55,12 +62,16 @@ def save_train_state(path: str, state, step: int,
         "impl": np.frombuffer(impl.encode(), np.uint8),
         "step": np.asarray(step),
         "scheduler": sched,
+        "extra": extra if extra is not None else {},
     })
+    os.replace(tmp, path)
 
 
-def load_train_state(path: str, template, scheduler=None):
+def load_train_state(path: str, template, scheduler=None,
+                     with_extra: bool = False):
     """Restore (TrainState, step) from ``save_train_state`` output;
     also restores ``scheduler`` in place when it was checkpointed.
+    With ``with_extra`` returns (state, step, extra).
 
     ``template`` supplies the dataclass type; leaves are replaced.
     """
@@ -81,4 +92,6 @@ def load_train_state(path: str, template, scheduler=None):
         scheduler.lr = float(sched[0])
         scheduler.best = float(sched[1])
         scheduler.num_bad = int(sched[2])
+    if with_extra:
+        return state, int(data["step"]), data.get("extra", {})
     return state, int(data["step"])

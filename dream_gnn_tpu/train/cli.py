@@ -108,6 +108,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="PRNG implementation for training keys")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="write a jax.profiler trace of the first fold")
+    p.add_argument("--checkpoint_every", type=int, default=0,
+                   help="write a full-state checkpoint (params + "
+                        "optimizer + PRNG + LR schedule + best-metric "
+                        "bookkeeping) every N iterations (0 = off; "
+                        "rounded to --train_valid_interval); the "
+                        "reference can only save final params, never "
+                        "resume (train.py:342-351)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume a preempted run from checkpoints found "
+                        "under --save_dir; the continued run's PRNG/"
+                        "optimizer/LR streams and CSV artifacts are "
+                        "identical to an uninterrupted run")
     p.add_argument("--fold_parallel", action="store_true",
                    help="train all CV folds of a seed simultaneously as "
                         "one vmapped batch (uses the XLA decoder)")
@@ -145,7 +157,8 @@ def config_from_args(args) -> TrainConfig:
         use_augmentation=args.use_augmentation,
         generate_top_predictions=args.generate_top_predictions,
         top_k=args.top_k, model=model, augment=augment,
-        rng_impl=args.rng_impl)
+        rng_impl=args.rng_impl,
+        checkpoint_every=args.checkpoint_every, resume=args.resume)
     if args.seeds is not None:
         cfg = dataclasses.replace(cfg, seeds=tuple(args.seeds))
     return cfg

@@ -79,10 +79,21 @@ def run_experiments(dataset: DreamDataset, cfg: TrainConfig, *,
                 fold_key = jax.random.fold_in(seed_key, cv)
                 from dream_gnn_tpu.utils.profiling import trace
 
+                # --resume: pick up this fold's periodic checkpoint
+                # (written when cfg.checkpoint_every > 0) if one exists;
+                # folds that never checkpointed just start over.
+                resume_from = None
+                if cfg.resume:
+                    cand = os.path.join(exp_dir, f"ckpt_fold{cv + 1}.npz")
+                    if os.path.exists(cand):
+                        resume_from = cand
+                        if verbose:
+                            print(f"Resuming fold {cv + 1} from {cand}")
                 with trace(profile_dir if first_fold else None):
                     res = train_fold(dataset, cv, cfg, fold_key,
                                      save_dir=exp_dir, save_id=cv + 1,
-                                     verbose=verbose, train_fns=train_fns)
+                                     verbose=verbose, train_fns=train_fns,
+                                     resume_from=resume_from)
                 first_fold = False
                 train_fns = res["train_fns"]
                 fold_results.append((res["best_auroc"], res["best_aupr"]))

@@ -92,12 +92,22 @@ def train_fold(dataset: DreamDataset, cv: int, cfg: TrainConfig,
     start_iter = 0
     plateau = PlateauScheduler(cfg.train_lr, patience=cfg.plateau_patience,
                                factor=cfg.plateau_factor)
+    resumed_best = None
+    resumed_best_params = None
     if resume_from:
         from dream_gnn_tpu.train.checkpoint import load_train_state
 
         # Restores the full TrainState AND the plateau scheduler —
-        # otherwise the first post-resume eval clobbers the decayed lr.
-        state, start_iter = load_train_state(resume_from, state, plateau)
+        # otherwise the first post-resume eval clobbers the decayed lr —
+        # AND the best-by-test-AUPR bookkeeping, so a best hit before
+        # the preemption survives the restart.
+        state, start_iter, extra = load_train_state(
+            resume_from, state, plateau, with_extra=True)
+        if extra and "best" in extra:
+            resumed_best = {k: (int(v) if k == "iter" else float(v))
+                            for k, v in extra["best"].items()}
+            bp = extra.get("best_params") or None
+            resumed_best_params = bp if bp else None
 
     logger = None
     if save_dir:
@@ -106,11 +116,12 @@ def train_fold(dataset: DreamDataset, cv: int, cfg: TrainConfig,
             ["iter", "loss", "train_auroc", "train_aupr",
              "test_auroc", "test_aupr"],
             ["%d", "%.4f", "%.4f", "%.4f", "%.4f", "%.4f"],
-            os.path.join(save_dir, f"test_metric{save_id}.csv"))
+            os.path.join(save_dir, f"test_metric{save_id}.csv"),
+            resume_iter=start_iter if resume_from else None)
 
-    best = dict(aupr=-1.0, auroc=0.0, iter=0, train_aupr=0.0,
-                train_auroc=0.0)
-    best_params = None
+    best = resumed_best or dict(aupr=-1.0, auroc=0.0, iter=0,
+                                train_aupr=0.0, train_auroc=0.0)
+    best_params = resumed_best_params
     total_iters = cfg.train_max_iter - 1      # range(1, max_iter)
     done = start_iter
     t0 = time.perf_counter()
@@ -167,7 +178,9 @@ def train_fold(dataset: DreamDataset, cv: int, cfg: TrainConfig,
             from dream_gnn_tpu.train.checkpoint import save_train_state
             save_train_state(
                 os.path.join(save_dir, f"ckpt_fold{save_id}.npz"),
-                state, done, plateau)
+                state, done, plateau,
+                extra={"best": {k: np.asarray(v) for k, v in best.items()},
+                       "best_params": best_params or {}})
 
     elapsed = time.perf_counter() - t0
     if logger:

@@ -52,7 +52,7 @@ from dream_gnn_tpu.utils.metrics import aupr_masked, auroc_masked
 
 
 def make_one_step_stacked(model_cfg: ModelConfig, train_cfg: TrainConfig,
-                          tx):
+                          tx, mesh=None):
     """Fold-batched single iteration: vmapped augment + encoder, the
     fold-batched fused decoder (kernels/pallas_decoder_batched.py), a
     summed-loss grad (folds are independent, so the stacked grad is
@@ -70,7 +70,7 @@ def make_one_step_stacked(model_cfg: ModelConfig, train_cfg: TrainConfig,
                 edge_weight):
         pred, drug_out, drug_sim_out, dis_out, dis_sim_out = forward_stacked(
             params, inputs, model_cfg, train=True, key=keys_fwd,
-            edge_masks=edge_masks)
+            edge_masks=edge_masks, mesh=mesh)
         if grid:
             f = pred.shape[0]
             pred = pred.reshape(f, -1)
@@ -108,15 +108,21 @@ def make_one_step_stacked(model_cfg: ModelConfig, train_cfg: TrainConfig,
     return one_step
 
 
-def make_stacked_train_fns(model_cfg: ModelConfig, train_cfg: TrainConfig):
+def make_stacked_train_fns(model_cfg: ModelConfig, train_cfg: TrainConfig,
+                           mesh=None):
     """(init_state, run_steps, run_interval) over a stacked fold axis.
 
     All leaves of ``TrainState`` carry a leading fold axis F.  The lr
     is a (F,) vector the host-side per-fold plateau schedulers rewrite
     between intervals.
+
+    ``mesh``: compile for the dp x mp multi-chip layout — the fused
+    Pallas decoders run under their shard_map partitioning rules
+    instead of being swapped for the XLA lowerings
+    (sharding/partition.py:make_multichip_train_fns).
     """
     tx = make_optimizer(train_cfg.train_grad_clip, train_cfg.weight_decay)
-    one_step = make_one_step_stacked(model_cfg, train_cfg, tx)
+    one_step = make_one_step_stacked(model_cfg, train_cfg, tx, mesh=mesh)
 
     @jax.jit
     def init_state(fold_keys) -> TrainState:
@@ -143,7 +149,7 @@ def make_stacked_train_fns(model_cfg: ModelConfig, train_cfg: TrainConfig):
 
     def _eval_stacked(params, stacked: StackedFolds):
         pred, *_ = forward_stacked(params, stacked.inputs, model_cfg,
-                                   train=False)
+                                   train=False, mesh=mesh)
         if model_cfg.decode_mode == "grid":
             f = pred.shape[0]
             pred = pred.reshape(f, -1)
@@ -172,13 +178,24 @@ def make_stacked_train_fns(model_cfg: ModelConfig, train_cfg: TrainConfig):
 def train_seed_foldparallel(
         dataset: DreamDataset, cfg: TrainConfig, seed_key: jax.Array,
         folds: Sequence[int], *, save_dir: Optional[str] = None,
-        verbose: bool = True, train_fns=None, model_cfg=None):
+        verbose: bool = True, train_fns=None, model_cfg=None,
+        resume: Optional[bool] = None):
     """Train every fold of one seed simultaneously; returns a list of
     per-fold result dicts (same contract as loop.train_fold) plus the
     reusable compiled fns.
 
     Artifact contract matches the sequential path: per-fold
     ``test_metric{i}.csv`` / ``best_metric{i}.csv`` under ``save_dir``.
+
+    Failure recovery: with ``cfg.checkpoint_every`` the whole stacked
+    state (all folds' params/optimizer/PRNG/lr — ONE pytree) plus the
+    per-fold plateau schedulers and best-by-AUPR bookkeeping is written
+    atomically to ``{save_dir}/ckpt_stacked.npz``; with ``resume``
+    (default ``cfg.resume``) a preempted run restarts from it with an
+    identical stream, and CSV rows past the checkpoint are dropped so
+    the resumed artifacts match an uninterrupted run byte for byte
+    (tests/test_resume.py).  The reference can only save final params,
+    never resume (train.py:342-351).
     """
     from dream_gnn_tpu.train.loop import derive_model_cfg
 
@@ -196,16 +213,6 @@ def train_seed_foldparallel(
                            for cv in folds])
     state = init_state(fold_keys)
 
-    loggers = [None] * n_folds
-    if save_dir:
-        os.makedirs(save_dir, exist_ok=True)
-        loggers = [MetricLogger(
-            ["iter", "loss", "train_auroc", "train_aupr",
-             "test_auroc", "test_aupr"],
-            ["%d", "%.4f", "%.4f", "%.4f", "%.4f", "%.4f"],
-            os.path.join(save_dir, f"test_metric{cv + 1}.csv"))
-            for cv in folds]
-
     plateaus = [PlateauScheduler(cfg.train_lr, patience=cfg.plateau_patience,
                                  factor=cfg.plateau_factor)
                 for _ in folds]
@@ -213,8 +220,42 @@ def train_seed_foldparallel(
                  train_auroc=0.0) for _ in folds]
     best_params = [None] * n_folds
 
+    resume = cfg.resume if resume is None else resume
+    ckpt_path = (os.path.join(save_dir, "ckpt_stacked.npz")
+                 if save_dir else None)
+    start_iter = 0
+    if resume and ckpt_path and os.path.exists(ckpt_path):
+        from dream_gnn_tpu.train.checkpoint import load_train_state
+
+        state, start_iter, extra = load_train_state(
+            ckpt_path, state, None, with_extra=True)
+        for i, row in enumerate(np.asarray(extra["plateau"])):
+            plateaus[i].lr = float(row[0])
+            plateaus[i].best = float(row[1])
+            plateaus[i].num_bad = int(row[2])
+        for i in range(n_folds):
+            b = extra["best"][f"f{i}"]
+            best[i] = {k: (int(v) if k == "iter" else float(v))
+                       for k, v in b.items()}
+            bp = extra["best_params"].get(f"f{i}") or None
+            best_params[i] = bp if bp else None
+        if verbose:
+            print(f"Resumed stacked run from {ckpt_path} "
+                  f"at iter {start_iter}")
+
+    loggers = [None] * n_folds
+    if save_dir:
+        os.makedirs(save_dir, exist_ok=True)
+        loggers = [MetricLogger(
+            ["iter", "loss", "train_auroc", "train_aupr",
+             "test_auroc", "test_aupr"],
+            ["%d", "%.4f", "%.4f", "%.4f", "%.4f", "%.4f"],
+            os.path.join(save_dir, f"test_metric{cv + 1}.csv"),
+            resume_iter=start_iter if start_iter else None)
+            for cv in folds]
+
     total_iters = cfg.train_max_iter - 1       # range(1, max_iter)
-    done = 0
+    done = start_iter
     t0 = time.perf_counter()
     steps_timed = 0
     time_in_steps = 0.0
@@ -259,6 +300,22 @@ def train_seed_foldparallel(
         if lr_changed:
             state = dataclasses.replace(
                 state, lr=jnp.asarray(new_lrs, jnp.float32))
+        if cfg.checkpoint_every and ckpt_path \
+                and done % cfg.checkpoint_every == 0:
+            from dream_gnn_tpu.train.checkpoint import save_train_state
+
+            save_train_state(
+                ckpt_path, state, done, None,
+                extra={
+                    "plateau": np.asarray(
+                        [[p.lr, p.best, float(p.num_bad)]
+                         for p in plateaus]),
+                    "best": {f"f{i}": {k: np.asarray(v)
+                                       for k, v in best[i].items()}
+                             for i in range(n_folds)},
+                    "best_params": {f"f{i}": best_params[i] or {}
+                                    for i in range(n_folds)},
+                })
         if verbose:
             m = metrics.mean(axis=0)
             print(f"Iter={done:5d}, Loss={m[0]:.4f}, "

@@ -12,8 +12,28 @@ from collections import OrderedDict
 
 
 class MetricLogger:
-    def __init__(self, attr_names, parse_formats, save_path):
+    def __init__(self, attr_names, parse_formats, save_path,
+                 resume_iter=None):
+        """``resume_iter``: keep existing rows whose leading (iter)
+        column is <= resume_iter and append after them — rows written
+        after the last checkpoint of a preempted run are dropped so a
+        resumed run's CSV is byte-identical to an uninterrupted one.
+        ``None`` (default) truncates, matching the reference writer
+        (utils.py:30-44)."""
+        import os
+
         self._attr_format_dict = OrderedDict(zip(attr_names, parse_formats))
+        if resume_iter is not None and os.path.exists(save_path):
+            with open(save_path, newline="") as f:
+                rows = list(csv.reader(f))
+            kept = [r for r in rows[1:]
+                    if r and r[0].isdigit() and int(r[0]) <= resume_iter]
+            self._file = open(save_path, "w", newline="")
+            self._csv = csv.writer(self._file)
+            self._csv.writerow(attr_names)
+            self._csv.writerows(kept)
+            self._file.flush()
+            return
         self._file = open(save_path, "w", newline="")
         self._csv = csv.writer(self._file)
         self._csv.writerow(attr_names)

@@ -1,0 +1,45 @@
+"""On-TPU dropout regression gate for the fused decoder kernels.
+
+The suite's conftest pins the CPU platform, where the kernels' on-core
+PRNG (pltpu.prng_seed) has no interpret lowering — so the round-1
+decoder-dropout-rate bug class (signed-shift PRNG bits, BASELINE.md
+root-cause) was only checkable by hand.  This test spawns a worker on
+the image's default backend (the real TPU) and asserts empirical mask
+rate, per-unit independence, and per-edge/fold stream independence for
+pallas_decoder, pallas_decoder_batched, pallas_grid_decoder, and the
+batched grid kernel (see tests/_dropout_tpu_worker.py for the method).
+
+Marked ``tpu``: excluded from the default CPU run (pytest.ini), run by
+scripts/run_all_tests.sh and the verify recipe on TPU-enabled images.
+"""
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+WORKER = Path(__file__).parent / "_dropout_tpu_worker.py"
+REPO = Path(__file__).parent.parent
+
+
+@pytest.mark.tpu
+def test_fused_decoder_dropout_statistics_on_tpu():
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "host_platform_device_count" not in f)
+    p = subprocess.run(
+        [sys.executable, str(WORKER)], cwd=REPO, env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        timeout=540)
+    if "DROPOUT_SKIP" in p.stdout:
+        pytest.skip(f"no TPU backend: {p.stdout.strip().splitlines()[-1]}")
+    assert p.returncode == 0, f"worker failed:\n{p.stdout}"
+    assert "DROPOUT_ALL_OK" in p.stdout, p.stdout
+    for kernel in ("pallas_decoder/m2", "pallas_decoder/m12",
+                   "pallas_decoder_batched/m2", "pallas_grid_decoder/m2",
+                   "pallas_grid_decoder_batched/m2"):
+        assert f"DROPOUT_OK {kernel}" in p.stdout, \
+            f"missing check for {kernel}:\n{p.stdout}"

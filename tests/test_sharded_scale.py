@@ -112,7 +112,8 @@ def test_sharded_grouped_forward_matches_coo(setup):
     from dream_gnn_tpu.sharding.scale_graph import \
         build_enc_graph_sharded_grouped
 
-    dataset, model_cfg, params, mesh = setup
+    dataset, model_cfg, params, _ = setup
+    mesh = _grouped_mesh()
     inputs, _, _, _ = fold_inputs(dataset, 0)
     split = dataset.splits[0]
     coo = build_enc_graph_coo(split.train_pairs, split.train_values,
@@ -149,7 +150,8 @@ def test_sharded_grouped_train_step_with_augmentation(setup):
     from dream_gnn_tpu.train.optim import make_optimizer
     from dream_gnn_tpu.train.step import TrainState, make_one_step
 
-    dataset, model_cfg, params, mesh = setup
+    dataset, model_cfg, params, _ = setup
+    mesh = _grouped_mesh()
     cfg = TrainConfig()
     inputs, _, labels, _ = fold_inputs(dataset, 0)
     split = dataset.splits[0]
@@ -204,14 +206,22 @@ def test_sharded_no_aug_step_matches_coo(setup):
 
 def _ring_setup(setup):
     """Interpret-mode ring tests run S^2 sub-block kernels per relation
-    direction; shrink to a 4-device mesh and 2 layers to keep the suite
-    fast while still exercising a real multi-step ring."""
+    direction; shrink to a 2-device mesh and 2 layers to keep the suite
+    fast while still exercising a real multi-step ring (one ppermute
+    rotation + the transposed backward ring)."""
     import dataclasses as _dc
     dataset, model_cfg, params, _ = setup
-    model_cfg = _dc.replace(model_cfg, layers=2)
+    model_cfg = _dc.replace(model_cfg, layers=1)
     params = init_params(jax.random.key(0), model_cfg)
-    mesh = make_mesh(dp=4, mp=1, devices=jax.devices()[:4])
+    mesh = make_mesh(dp=2, mp=1, devices=jax.devices()[:2])
     return dataset, model_cfg, params, mesh
+
+
+def _grouped_mesh():
+    """Interpret-mode grouped tests run one gather kernel per shard per
+    relation direction; a 4-device mesh halves that vs the module's
+    8-device mesh while still exercising multi-shard halo exchange."""
+    return make_mesh(dp=4, mp=1, devices=jax.devices()[:4])
 
 
 def test_ring_forward_matches_coo(setup):

@@ -34,7 +34,10 @@ def test_eight_virtual_devices():
     assert len(jax.devices()) == 8
 
 
-@pytest.mark.parametrize("dp,mp", [(8, 1), (4, 2), (2, 4)])
+# (4, 2) is exercised by test_multichip_interval_matches_unsharded;
+# keep the two extreme mesh shapes here (each combo is ~25 s of
+# virtual-mesh compile time).
+@pytest.mark.parametrize("dp,mp", [(8, 1), (2, 4)])
 def test_multichip_step_runs(setup, dp, mp):
     dataset, cfg, model_cfg = setup
     mesh = make_mesh(dp=dp, mp=mp)
@@ -86,9 +89,12 @@ def test_sharded_matches_single_device(setup):
 
 
 def test_graft_dryrun():
+    # ring_shards=2: the S=4 ring is the driver's job (MULTICHIP_r*);
+    # tests/test_sharded_scale.py pins S=2 ring numerics — here we only
+    # need the dryrun plumbing to run end-to-end inside the budget.
     import __graft_entry__ as graft
 
-    graft.dryrun_multichip(8)
+    graft.dryrun_multichip(8, ring_shards=2)
 
 
 def test_multihost_helpers_single_process():
