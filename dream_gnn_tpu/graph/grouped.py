@@ -1,16 +1,39 @@
 """Grouped-COO layout for the sub-vreg gather SpMM kernel.
 
-Mosaic's ``tpu.dynamic_gather`` shuffles within a single vreg, so a
-hardware gather needs its table to span at most 128 lanes.  This layout
-therefore organises edges into GROUPS of <=128 edges whose sources all
-fall in one 128-row src sub-tile (and whose destinations fall in one
-512-row dst tile); the kernel (kernels/pallas_spmm_gather.py) streams
-one (d, 128) source panel per group via explicit double-buffered DMA
-and gathers rows with the hardware shuffle instead of one-hot matmuls.
+Mosaic's ``tpu.dynamic_gather`` shuffles within a single vreg, so one
+hardware gather addresses at most 128 lanes (``SUB``).  Edges are
+therefore organised into GROUPS of <= 128 edges whose sources all fall
+in one SUPERBLOCK of ``span`` consecutive 128-row src sub-tiles (and
+whose destinations fall in one 512-row dst tile); the kernel
+(kernels/pallas_spmm_gather.py) gathers each group with up to ``span``
+hardware shuffles (one per touched sub-tile) merged by a select tree.
+
+Why a span > 1: with 128-row source blocks a uniform-random 10M-edge
+graph fills groups only ~51% (the mean (dst_tile, sub_tile) block holds
+~65 edges), and the scatter matmul pays TILE_DST * d MACs per SLOT —
+padding slots double the MXU bill, degenerating the kernel to
+dense-matmul FLOPs (d * n_src * n_dst).  Spanning 8 sub-tiles raises
+the mean block population to ~520 edges and slot occupancy to ~88%,
+nearly halving the dominant scatter cost, while total panel-DMA bytes
+stay constant (each (dst_tile, superblock) panel is fetched once).
+
+Superblock panels are DMA'd into a ring of ``NSLOTS`` resident VMEM
+slots on a host-precomputed schedule compressed to fit SMEM (~1 MB):
+per group slot one packed int32 ``(trans_id << span) | touch_bitmask``
+(PAD_META for padding groups), plus one superblock id per panel
+TRANSITION.  The kernel derives everything else: ring slot =
+``trans_id % NSLOTS``, a wait fires at each trans_id change (and issues
+the DMA for transition ``trans_id + LEAD`` so copies ride ``LEAD``
+transitions ahead of their consumer), and the touch bitmask gates the
+gather/select work.  Per-group schedule cost is 4 bytes — the earlier
+uncompressed schedule (wait/slot/touch/start channels per group) blew
+the 1 MB SMEM budget at 10M edges.
 
 Hierarchy: chunk = GROUPS_PER_CHUNK groups sharing a dst tile; groups
-are runs of (dst_tile, src_subtile)-sorted edges.  Padding groups carry
-``val == 0`` and sub-tile 0.
+are runs of (dst_tile, src_subtile)-sorted edges cut at superblock
+boundaries.  Padding groups carry ``val == 0`` and ``touch == 0`` (the
+kernel skips their gathers and, if a whole group batch is padding, its
+scatter matmul).
 """
 
 from __future__ import annotations
@@ -21,18 +44,29 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-SUB = 128                 # src rows per group panel (one vreg of lanes)
+SUB = 128                 # src rows per hardware gather (one vreg of lanes)
 TILE_DST_G = 512          # dst rows per output block
 GROUPS_PER_CHUNK = 16
+SPAN = 8                  # src sub-tiles per superblock panel
+NSLOTS = 4                # resident superblock panels (VMEM ring, pow2)
+LEAD = 2                  # panel DMA issued LEAD transitions ahead
+PAD_META = np.int32(np.iinfo(np.int32).min)   # g_meta of padding groups
+#   touch bits all 0 (gathers skipped); trans_id bits arithmetic-shift
+#   to a negative id no live group carries, so the group after a
+#   padding run always re-waits its (new) transition.
 
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class GroupedCoo:
-    src_local: jnp.ndarray    # (C, G, 128) int32 in [0, SUB)
+    src_local: jnp.ndarray    # (C, G, 128) int32 in [0, span * SUB)
     dst_local: jnp.ndarray    # (C, G, 128) int32 in [0, TILE_DST_G)
     val: jnp.ndarray          # (C, G, 128) float32, 0 = padding
-    subtile: jnp.ndarray      # (C * G,) int32 — src sub-tile per group
+    g_meta: jnp.ndarray       # (C * G,) int32 — (trans_id << span) |
+    #                           touched-sub-tile bitmask; PAD_META for
+    #                           padding groups
+    trans_sb: jnp.ndarray     # (T + LEAD,) int32 — superblock id per
+    #                           panel transition, -1 beyond the last
     dst_tile: jnp.ndarray     # (C,) int32
     first_of_dst: jnp.ndarray  # (C,) int32
     edge_id: jnp.ndarray      # (C, G, 128) int32 — physical edge index
@@ -43,6 +77,8 @@ class GroupedCoo:
     #                           applied consistently to both.
     n_src: int = dataclasses.field(metadata=dict(static=True))
     n_dst: int = dataclasses.field(metadata=dict(static=True))
+    span: int = dataclasses.field(default=SPAN, metadata=dict(static=True))
+    n_live: int = dataclasses.field(default=0, metadata=dict(static=True))
 
     @property
     def n_chunks(self) -> int:
@@ -50,14 +86,26 @@ class GroupedCoo:
 
     @property
     def n_src_pad(self) -> int:
-        return -(-self.n_src // SUB) * SUB
+        blk = self.span * SUB
+        return -(-self.n_src // blk) * blk
 
     @property
     def n_dst_pad(self) -> int:
         return -(-self.n_dst // TILE_DST_G) * TILE_DST_G
 
+    @property
+    def occupancy(self) -> float:
+        """Live-edge fraction of the layout's 128-edge slots.
+
+        Computed from the static live count captured at build time —
+        never reads ``val`` back from the device (the layout usually
+        lives in TPU HBM; a D2H readback here would stall the host).
+        """
+        return self.n_live / max(self.val.size, 1)
+
 
 def grouped_from_arrays(src, dst, val, n_src: int, n_dst: int,
+                        span: int = SPAN,
                         use_native: bool = True) -> GroupedCoo:
     src = np.asarray(src, np.int64)
     dst = np.asarray(dst, np.int64)
@@ -69,28 +117,33 @@ def grouped_from_arrays(src, dst, val, n_src: int, n_dst: int,
     from dream_gnn_tpu.graph import native as _native
     built = _native.build_grouped_native(src, dst, val, n_src, n_dst,
                                          SUB, TILE_DST_G,
-                                         GROUPS_PER_CHUNK) \
+                                         GROUPS_PER_CHUNK, span, LEAD) \
         if use_native else None
     if built is not None:
-        g_src, g_dst, g_val, g_eid, g_sub, c_dt, c_first = built
+        (g_src, g_dst, g_val, g_eid, g_meta, trans_sb,
+         c_dt, c_first, n_live) = built
         return GroupedCoo(
             src_local=jnp.asarray(g_src), dst_local=jnp.asarray(g_dst),
-            val=jnp.asarray(g_val), subtile=jnp.asarray(g_sub),
+            val=jnp.asarray(g_val), g_meta=jnp.asarray(g_meta),
+            trans_sb=jnp.asarray(trans_sb),
             dst_tile=jnp.asarray(c_dt), first_of_dst=jnp.asarray(c_first),
-            edge_id=jnp.asarray(g_eid), n_src=n_src, n_dst=n_dst)
+            edge_id=jnp.asarray(g_eid), n_src=n_src, n_dst=n_dst,
+            span=span, n_live=int(n_live))
     live = val != 0
     src, dst, val = src[live], dst[live], val[live]
     phys = np.arange(len(src), dtype=np.int64)   # live-edge indexing
 
     st = src // SUB
     dt = dst // TILE_DST_G
+    sb = st // span
     order = np.lexsort((st, dt))
-    src, dst, val, st, dt, phys = (src[order], dst[order], val[order],
-                                   st[order], dt[order], phys[order])
+    src, dst, val, st, dt, sb, phys = (src[order], dst[order], val[order],
+                                       st[order], dt[order], sb[order],
+                                       phys[order])
     n = len(src)
 
-    # Group starts: block changes or every SUB edges.
-    block_id = dt * (1 << 32) + st
+    # Group starts: (dst_tile, superblock) changes or every SUB edges.
+    block_id = dt * (1 << 32) + sb
     new_block = np.concatenate([[True], block_id[1:] != block_id[:-1]]) \
         if n else np.zeros((0,), bool)
     block_starts = np.nonzero(new_block)[0]
@@ -118,29 +171,64 @@ def grouped_from_arrays(src, dst, val, n_src: int, n_dst: int,
             chunks.append((t, gs[off:off + GROUPS_PER_CHUNK]))
 
     c = len(chunks)
+    span_sub = span * SUB
     g_src = np.zeros((c, GROUPS_PER_CHUNK, SUB), np.int32)
     g_dst = np.zeros((c, GROUPS_PER_CHUNK, SUB), np.int32)
     g_val = np.zeros((c, GROUPS_PER_CHUNK, SUB), np.float32)
     g_eid = np.full((c, GROUPS_PER_CHUNK, SUB), n, np.int32)
-    g_sub = np.zeros((c * GROUPS_PER_CHUNK,), np.int32)
+    g_touch = np.zeros((c * GROUPS_PER_CHUNK,), np.int32)
+    group_sb = np.zeros((c * GROUPS_PER_CHUNK,), np.int64)
+    group_live = np.zeros((c * GROUPS_PER_CHUNK,), bool)
     c_dt = np.zeros((c,), np.int32)
     for ci, (t, gs) in enumerate(chunks):
         c_dt[ci] = t
         for gj, gi in enumerate(gs):
             a, b = starts[gi], ends[gi]
             m = b - a
-            g_src[ci, gj, :m] = src[a:b] % SUB
+            g_src[ci, gj, :m] = src[a:b] % span_sub
             g_dst[ci, gj, :m] = dst[a:b] % TILE_DST_G
             g_val[ci, gj, :m] = val[a:b]
             g_eid[ci, gj, :m] = phys[a:b]
-            g_sub[ci * GROUPS_PER_CHUNK + gj] = st[a]
+            pos = ci * GROUPS_PER_CHUNK + gj
+            group_sb[pos] = sb[a]
+            group_live[pos] = True
+            for p in np.unique(st[a:b] - sb[a] * span):
+                g_touch[pos] |= 1 << int(p)
     first = np.concatenate([[1], (c_dt[1:] != c_dt[:-1]).astype(np.int32)])
+
+    # Panel transitions = maximal live-group runs of equal
+    # (dst_tile, superblock) in stream order — the transition must
+    # break when the dst tile changes even if the superblock id
+    # repeats (different panel epoch).
+    dt_of_group = np.repeat(c_dt.astype(np.int64), GROUPS_PER_CHUNK)
+    trans_key = dt_of_group * (1 << 32) + group_sb
+    g_meta = np.full((c * GROUPS_PER_CHUNK,), PAD_META, np.int32)
+    trans_sb_list = []
+    prev = None
+    for g in range(c * GROUPS_PER_CHUNK):
+        if not group_live[g]:
+            continue
+        if prev is None or trans_key[g] != prev:
+            trans_sb_list.append(int(group_sb[g]))
+        prev = trans_key[g]
+        tid = len(trans_sb_list) - 1
+        g_meta[g] = (tid << span) | int(g_touch[g])
+    n_trans = len(trans_sb_list)
+    if n_trans << span >= 1 << 31:
+        raise ValueError(
+            f"{n_trans} panel transitions with span={span} overflow the "
+            f"packed int32 schedule; use a smaller span")
+    trans_sb_arr = np.concatenate(
+        [np.asarray(trans_sb_list, np.int32),
+         np.full((LEAD,), -1, np.int32)])
 
     return GroupedCoo(
         src_local=jnp.asarray(g_src), dst_local=jnp.asarray(g_dst),
-        val=jnp.asarray(g_val), subtile=jnp.asarray(g_sub),
+        val=jnp.asarray(g_val), g_meta=jnp.asarray(g_meta),
+        trans_sb=jnp.asarray(trans_sb_arr),
         dst_tile=jnp.asarray(c_dt), first_of_dst=jnp.asarray(first),
-        edge_id=jnp.asarray(g_eid), n_src=n_src, n_dst=n_dst)
+        edge_id=jnp.asarray(g_eid), n_src=n_src, n_dst=n_dst, span=span,
+        n_live=int(n))
 
 
 @jax.tree_util.register_dataclass
@@ -150,11 +238,11 @@ class GroupedCooPair:
     bwd: GroupedCoo
 
 
-def grouped_pair_from_arrays(src, dst, val, n_src: int,
-                             n_dst: int) -> GroupedCooPair:
+def grouped_pair_from_arrays(src, dst, val, n_src: int, n_dst: int,
+                             span: int = SPAN) -> GroupedCooPair:
     return GroupedCooPair(
-        fwd=grouped_from_arrays(src, dst, val, n_src, n_dst),
-        bwd=grouped_from_arrays(dst, src, val, n_dst, n_src))
+        fwd=grouped_from_arrays(src, dst, val, n_src, n_dst, span=span),
+        bwd=grouped_from_arrays(dst, src, val, n_dst, n_src, span=span))
 
 
 @jax.tree_util.register_dataclass

@@ -80,7 +80,9 @@ def _gload() -> Optional[ctypes.CDLL]:
         if _GLIB is not None or _GTRIED:
             return _GLIB
         _GTRIED = True
-        if not os.path.exists(_GSO) and os.path.exists(_GSRC):
+        stale = (os.path.exists(_GSO) and os.path.exists(_GSRC)
+                 and os.path.getmtime(_GSRC) > os.path.getmtime(_GSO))
+        if (stale or not os.path.exists(_GSO)) and os.path.exists(_GSRC):
             try:
                 subprocess.run(["g++", "-O3", "-shared", "-fPIC",
                                 "-o", _GSO, _GSRC], check=True,
@@ -92,19 +94,26 @@ def _gload() -> Optional[ctypes.CDLL]:
         lib = ctypes.CDLL(_GSO)
         i32p = ctypes.POINTER(ctypes.c_int32)
         f32p = ctypes.POINTER(ctypes.c_float)
-        lib.gb_plan.restype = ctypes.c_void_p
-        lib.gb_plan.argtypes = [i32p, i32p, f32p, ctypes.c_int64,
-                                ctypes.c_int64, ctypes.c_int64,
-                                ctypes.c_int, ctypes.c_int, ctypes.c_int]
-        lib.gb_num_chunks.restype = ctypes.c_int64
-        lib.gb_num_chunks.argtypes = [ctypes.c_void_p]
-        lib.gb_num_live.restype = ctypes.c_int64
-        lib.gb_num_live.argtypes = [ctypes.c_void_p]
-        lib.gb_fill.restype = None
-        lib.gb_fill.argtypes = [ctypes.c_void_p, i32p, i32p, f32p,
-                                i32p, i32p, i32p, i32p]
-        lib.gb_free.restype = None
-        lib.gb_free.argtypes = [ctypes.c_void_p]
+        try:
+            lib.gb2_plan
+        except AttributeError:   # stale prebuilt artifact, old ABI
+            return None
+        lib.gb2_plan.restype = ctypes.c_void_p
+        lib.gb2_plan.argtypes = [i32p, i32p, f32p, ctypes.c_int64,
+                                 ctypes.c_int64, ctypes.c_int64,
+                                 ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                                 ctypes.c_int, ctypes.c_int]
+        lib.gb2_num_chunks.restype = ctypes.c_int64
+        lib.gb2_num_chunks.argtypes = [ctypes.c_void_p]
+        lib.gb2_num_live.restype = ctypes.c_int64
+        lib.gb2_num_live.argtypes = [ctypes.c_void_p]
+        lib.gb2_num_trans.restype = ctypes.c_int64
+        lib.gb2_num_trans.argtypes = [ctypes.c_void_p]
+        lib.gb2_fill.restype = None
+        lib.gb2_fill.argtypes = [ctypes.c_void_p, i32p, i32p, f32p,
+                                 i32p, i32p, i32p, i32p, i32p]
+        lib.gb2_free.restype = None
+        lib.gb2_free.argtypes = [ctypes.c_void_p]
         _GLIB = lib
         return _GLIB
 
@@ -114,10 +123,12 @@ def grouped_available() -> bool:
 
 
 def build_grouped_native(src, dst, val, n_src: int, n_dst: int,
-                         sub: int, tile_dst: int, groups_per_chunk: int):
-    """Returns (g_src, g_dst, g_val, g_eid, g_sub, c_dt, c_first) numpy
-    arrays with the same contract as graph/grouped.py's NumPy builder,
-    or None if the native library is unavailable."""
+                         sub: int, tile_dst: int, groups_per_chunk: int,
+                         span: int, lead: int):
+    """Returns (g_src, g_dst, g_val, g_eid, g_meta, trans_sb, c_dt,
+    c_first, n_live) numpy arrays with the same contract as
+    graph/grouped.py's NumPy builder, or None if the native library is
+    unavailable."""
     lib = _gload()
     if lib is None:
         return None
@@ -129,32 +140,41 @@ def build_grouped_native(src, dst, val, n_src: int, n_dst: int,
     def _p(a, t):
         return a.ctypes.data_as(ctypes.POINTER(t))
 
-    h = lib.gb_plan(_p(src, ctypes.c_int32), _p(dst, ctypes.c_int32),
-                    _p(val, ctypes.c_float), len(src), n_src, n_dst,
-                    sub, tile_dst, groups_per_chunk)
+    h = lib.gb2_plan(_p(src, ctypes.c_int32), _p(dst, ctypes.c_int32),
+                     _p(val, ctypes.c_float), len(src), n_src, n_dst,
+                     sub, tile_dst, groups_per_chunk, span, lead)
     try:
-        c = max(int(lib.gb_num_chunks(h)), 1)
+        c = max(int(lib.gb2_num_chunks(h)), 1)
+        n_trans = int(lib.gb2_num_trans(h))
+        if n_trans << span >= 1 << 31:
+            raise ValueError(
+                f"{n_trans} panel transitions with span={span} overflow "
+                f"the packed int32 schedule; use a smaller span")
         g_src = np.zeros((c, groups_per_chunk, sub), np.int32)
         g_dst = np.zeros((c, groups_per_chunk, sub), np.int32)
         g_val = np.zeros((c, groups_per_chunk, sub), np.float32)
         g_eid = np.full((c, groups_per_chunk, sub),
-                        int(lib.gb_num_live(h)), np.int32)
-        g_sub = np.zeros((c * groups_per_chunk,), np.int32)
+                        int(lib.gb2_num_live(h)), np.int32)
+        g_meta = np.full((c * groups_per_chunk,),
+                         np.iinfo(np.int32).min, np.int32)
+        trans_sb = np.full((n_trans + lead,), -1, np.int32)
         c_dt = np.zeros((c,), np.int32)
         c_first = np.zeros((c,), np.int32)
-        if lib.gb_num_chunks(h) > 0:
-            lib.gb_fill(h, _p(g_src, ctypes.c_int32),
-                        _p(g_dst, ctypes.c_int32),
-                        _p(g_val, ctypes.c_float),
-                        _p(g_eid, ctypes.c_int32),
-                        _p(g_sub, ctypes.c_int32),
-                        _p(c_dt, ctypes.c_int32),
-                        _p(c_first, ctypes.c_int32))
+        if lib.gb2_num_chunks(h) > 0:
+            lib.gb2_fill(h, _p(g_src, ctypes.c_int32),
+                         _p(g_dst, ctypes.c_int32),
+                         _p(g_val, ctypes.c_float),
+                         _p(g_eid, ctypes.c_int32),
+                         _p(g_meta, ctypes.c_int32),
+                         _p(trans_sb, ctypes.c_int32),
+                         _p(c_dt, ctypes.c_int32),
+                         _p(c_first, ctypes.c_int32))
         else:
             c_first[0] = 1
-        return g_src, g_dst, g_val, g_eid, g_sub, c_dt, c_first
+        return (g_src, g_dst, g_val, g_eid, g_meta, trans_sb, c_dt,
+                c_first, int(lib.gb2_num_live(h)))
     finally:
-        lib.gb_free(h)
+        lib.gb2_free(h)
 
 
 def build_blocked_native(src, dst, val, n_src: int, n_dst: int,

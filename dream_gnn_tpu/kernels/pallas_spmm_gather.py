@@ -2,29 +2,45 @@
 
 ``out[n] = sum_e val_e * x[src_e]`` over a GroupedCoo layout
 (graph/grouped.py).  Per chunk (one 512-row dst tile, 16 groups of
-<=128 edges each confined to a 128-row src sub-tile):
+<=128 edges each confined to a ``span``-sub-tile source superblock):
 
-    for each group g (double-buffered HBM DMA of its source panel):
-        panel (d, 128)  <- xT[:, subtile_g * 128 : +128]     # 32 KB DMA
-        msgsT (d, 128)  = dynamic_gather(panel, src ids)     # hardware
-                          * val                              # shuffle
-        M (TD, 128)     = (iota_dst == dst ids)              # VPU
-        accT (d, TD)   += msgsT contract_e M                 # one MXU
+    per superblock transition (host-scheduled, LEAD ahead):
+        panel (d, span*128) <- xT[:, sb * span*128 : +span*128]  # DMA
+    per group (panel resident in a NSLOTS ring):
+        for each TOUCHED 128-row sub-tile p (host bitmask):
+            msgs |= where(id>>7 == p,
+                          dynamic_gather(panel[:, p], id & 127), .)
+    per batch of GB groups:
+        M (TD, GB*128)  = (iota_dst == dst ids)             # VPU
+        accT (d, TD)   += msgsT contract_e M                # one MXU
 
-The hardware gather works because each group's table spans exactly one
-vreg of lanes (Mosaic's dynamic_gather limit); the scatter matmul costs
-TILE_DST * d MACs per edge — half the one-hot kernel's bill, with the
-gather side free.  Source panels stream from HBM through a two-slot
-VMEM scratch with explicit async DMA, so x never needs to fit in VMEM
-(the one-hot kernel's other limit).
+The hardware gather works because each shuffle's table spans exactly
+one vreg of lanes (Mosaic's dynamic_gather limit); a straight-line
+select tree over the superblock's sub-tiles extends the addressable
+window to ``span * 128`` source rows, which is what keeps the 128-edge
+groups nearly full (see graph/grouped.py — occupancy is the scatter
+matmul's cost denominator).  The per-group body is deliberately
+branch-free values-only dataflow (measured: a variant that gated each
+sub-tile's shuffle behind a scalar `pl.when` and staged messages
+through VMEM scratch serialised Mosaic's software pipeline and lost
+more to stalls than the skipped shuffles saved).  A group batch that
+is all padding does skip its scatter matmul — one scalar test per
+batch — which keeps the sharded path's chunk-count padding near-free.
+
+Source panels stream from HBM through an NSLOTS-deep VMEM ring with
+explicit async DMA issued LEAD transitions ahead (schedule precomputed
+on the host, where the whole group stream is known), so x never needs
+to fit in VMEM and copies ride under compute.
 
 Backward = SpMM on the transposed grouping (GroupedCooPair.bwd); edge
 values are non-trainable.
 
 This kernel targets the synthetic scale config (100k x 100k, ~10M
-edges) where XLA's segment_sum lowering is scatter-serialised; the
-dense-mask path stays optimal for the real (tiny) datasets and the
-one-hot blocked kernel for mid-size graphs.
+edges) where XLA's segment_sum lowering is scatter-serialised; it
+replaces DGL's C++ `update_all(copy_u, sum)` SpMM
+(/root/reference/layers.py:229-232) at scales the reference never
+reaches.  The dense-mask path stays optimal for the real (tiny)
+datasets and the one-hot blocked kernel for mid-size graphs.
 """
 
 from __future__ import annotations
@@ -37,8 +53,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from dream_gnn_tpu.graph.grouped import (GROUPS_PER_CHUNK, SUB, TILE_DST_G,
-                                         GroupedCoo, GroupedCooPair)
+from dream_gnn_tpu.graph.grouped import (GROUPS_PER_CHUNK, LEAD, NSLOTS,
+                                         SUB, TILE_DST_G, GroupedCoo,
+                                         GroupedCooPair)
 
 INTERPRET = False
 
@@ -46,11 +63,10 @@ INTERPRET = False
 # tiny (d, 128) x (128, TILE_DST) MXU op whose launch/VPU overhead
 # (mask build, dtype casts, accumulate) dominates at 128-edge
 # granularity; batching GB groups widens it to (d, GB*128) x
-# (GB*128, TILE_DST) — identical MACs, 1/GB the launches — and deepens
-# the DMA pipeline from 2 to 2*GB panels in flight.  Measured at the
-# 10M-edge scale config (scripts/bench_spmm_gather_variants.py):
-# gb=1 44.9 ms fwd -> gb=8 37.1 ms (34.2 ms with packed panels).
-GROUP_BATCH = 8
+# (GB*128, TILE_DST) — identical MACs, 1/GB the launches.  Measured at
+# the 10M-edge scale config (scripts/bench_spmm_gather_variants.py,
+# span=8): gb=4 32.9 ms fwd, gb=8 31.3, gb=16 30.6.
+GROUP_BATCH = 16
 
 # Pack two bf16 feature channels per 32-bit panel lane (halves panel
 # DMA bytes).  bf16 is fp32's top half, so channel i unpacks as
@@ -64,9 +80,10 @@ GROUP_BATCH = 8
 PACK_PANELS = True
 
 
-def _spmm_gather_kernel(sub_ref, dst_tile_ref, first_ref,
+def _spmm_gather_kernel(meta_ref, trans_sb_ref, dst_tile_ref, first_ref,
                         src_ref, dst_ref, val_ref, xt_hbm, out_ref,
-                        scratch, sems, *, dtype, group_batch, packed):
+                        panels, sems, *, dtype, group_batch,
+                        packed, span):
     i = pl.program_id(0)
 
     @pl.when(first_ref[i] == 1)
@@ -74,52 +91,100 @@ def _spmm_gather_kernel(sub_ref, dst_tile_ref, first_ref,
         out_ref[:] = jnp.zeros_like(out_ref)
 
     d = out_ref.shape[0]
-    ids_s = src_ref[0]        # (G, 128) int32
+    pr = panels.shape[1]          # panel rows: d (fp32) or d/2 (packed)
+    ids_s = src_ref[0]            # (G, 128) int32 in [0, span*128)
     ids_d = dst_ref[0]
-    val = val_ref[0]          # (G, 128) f32
+    val = val_ref[0]              # (G, 128) f32
+    lanes = ids_s & (SUB - 1)
+    sels = ids_s >> 7             # sub-tile of each edge's source row
     gb = group_batch
-    slots = scratch.shape[0]
     n_batches = GROUPS_PER_CHUNK // gb
-
-    def dma(slot, g):
-        sub = sub_ref[i * GROUPS_PER_CHUNK + g]
-        return pltpu.make_async_copy(
-            xt_hbm.at[:, pl.ds(sub * SUB, SUB)],
-            scratch.at[slot], sems.at[slot])
-
-    for g in range(gb):
-        dma(g % slots, g).start()
-    acc = jnp.zeros((d, TILE_DST_G), jnp.float32)
     rows = jax.lax.broadcasted_iota(jnp.int32, (TILE_DST_G, gb * SUB), 0)
+
+    def panel_dma(sl, sb):
+        return pltpu.make_async_copy(
+            xt_hbm.at[:, pl.ds(sb * span * SUB, span * SUB)],
+            panels.at[sl], sems.at[sl])
+
+    touch_mask = (1 << span) - 1
     for b in range(n_batches):
         base = b * gb
-        if b + 1 < n_batches:
-            for g in range(gb):
-                dma((base + gb + g) % slots, base + gb + g).start()
         parts = []
         for g in range(gb):
-            gid = base + g
-            dma(gid % slots, gid).wait()
-            panel = scratch[gid % slots]         # (d, 128) / (d/2, 128)
-            idx = jnp.broadcast_to(ids_s[gid:gid + 1],
-                                   (panel.shape[0], SUB))
-            msgs = jnp.take_along_axis(panel, idx, axis=1,
-                                       mode="promise_in_bounds")
+            gid = i * GROUPS_PER_CHUNK + base + g
+            meta = meta_ref[gid]
+            tid = meta >> span               # panel transition id
+            sl = tid & (NSLOTS - 1)          # ring slot (0..3 even for
+            #                                  PAD_META's negative tid)
+            if base + g == 0:
+                # Stream prologue: the first LEAD panel DMAs have no
+                # earlier anchor — issue them at the very first group.
+                @pl.when(i == 0)
+                def _prologue():
+                    for k in range(LEAD):
+                        sbk = trans_sb_ref[k]
+
+                        @pl.when(sbk >= 0)
+                        def _pstart(sbk=sbk, k=k):
+                            panel_dma(k & (NSLOTS - 1), sbk).start()
+
+            # A wait fires at each transition boundary (first live
+            # group whose tid differs from its predecessor's; PAD_META
+            # shifts to a negative tid so post-padding groups re-wait);
+            # it first issues the DMA for transition tid + LEAD so
+            # copies stay LEAD transitions ahead of their consumer.
+            prev_tid = meta_ref[jnp.maximum(gid - 1, 0)] >> span
+            boundary = (tid != prev_tid) | (gid == 0)
+
+            @pl.when((meta >= 0) & boundary)
+            def _wait(tid=tid, sl=sl):
+                sb_next = trans_sb_ref[tid + LEAD]
+
+                @pl.when(sb_next >= 0)
+                def _start(sb_next=sb_next, tid=tid):
+                    panel_dma((tid + LEAD) & (NSLOTS - 1),
+                              sb_next).start()
+
+                panel_dma(sl, 0).wait()  # descriptor only sizes the wait
+
+            # Gather this group's messages: one hardware shuffle per
+            # sub-tile of the superblock, merged by a value-level
+            # select tree (no branches, no scratch — keeps the
+            # pipeline running).
+            gl = base + g
+            idx = jnp.broadcast_to(lanes[gl:gl + 1], (pr, SUB))
+            sel = jnp.broadcast_to(sels[gl:gl + 1], (pr, SUB))
+            msgs_g = None
+            for p in range(span):
+                panel = panels.at[sl][:, p * SUB:(p + 1) * SUB]
+                gp = jnp.take_along_axis(panel, idx, axis=1,
+                                         mode="promise_in_bounds")
+                msgs_g = gp if msgs_g is None else \
+                    jnp.where(sel == p, gp, msgs_g)
+            parts.append(msgs_g)
+
+        batch_live = meta_ref[i * GROUPS_PER_CHUNK + base] & touch_mask
+        for g in range(1, gb):
+            batch_live |= meta_ref[i * GROUPS_PER_CHUNK + base
+                                   + g] & touch_mask
+
+        @pl.when(batch_live != 0)
+        def _scatter(base=base, parts=parts):
+            msgs = parts[0] if gb == 1 else jnp.concatenate(parts, axis=1)
             if packed:
                 hi = pltpu.bitcast(
                     msgs & jnp.uint32(0xFFFF0000), jnp.float32)
                 lo = pltpu.bitcast(msgs << 16, jnp.float32)
-                msgs = jnp.concatenate([hi, lo], axis=0)   # (d, 128)
-            parts.append(msgs * jnp.broadcast_to(
-                val[gid:gid + 1], (d, SUB)).astype(msgs.dtype))
-        msgs = parts[0] if gb == 1 else jnp.concatenate(parts, axis=1)
-        dsts = ids_d[base:base + gb].reshape(1, gb * SUB)
-        m = (rows == jnp.broadcast_to(dsts, (TILE_DST_G, gb * SUB)))
-        acc = acc + jax.lax.dot_general(
-            msgs.astype(dtype), m.astype(dtype),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-    out_ref[:] += acc
+                msgs = jnp.concatenate([hi, lo], axis=0)   # (d, gb*128)
+            v = val[base:base + gb].reshape(1, gb * SUB)
+            msgs = msgs * jnp.broadcast_to(v, (d, gb * SUB)).astype(
+                msgs.dtype)
+            dsts = ids_d[base:base + gb].reshape(1, gb * SUB)
+            m = (rows == jnp.broadcast_to(dsts, (TILE_DST_G, gb * SUB)))
+            out_ref[:] += jax.lax.dot_general(
+                msgs.astype(dtype), m.astype(dtype),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
 
 
 def _spmm_gather_raw(g: GroupedCoo, x: jnp.ndarray,
@@ -130,6 +195,7 @@ def _spmm_gather_raw(g: GroupedCoo, x: jnp.ndarray,
     if GROUPS_PER_CHUNK % gb:
         raise ValueError(f"group_batch {gb} must divide {GROUPS_PER_CHUNK}")
     d = x.shape[1]
+    span = g.span
     if packed is None:
         packed = PACK_PANELS and jnp.dtype(dtype) == jnp.bfloat16
     packed = packed and d % 2 == 0
@@ -148,30 +214,30 @@ def _spmm_gather_raw(g: GroupedCoo, x: jnp.ndarray,
     edge_spec = pl.BlockSpec((1, GROUPS_PER_CHUNK, SUB),
                              lambda i, *_: (i, 0, 0),
                              memory_space=pltpu.VMEM)
-    slots = 2 * gb
     panel_rows = d // 2 if packed else d
     panel_dtype = jnp.uint32 if packed else jnp.float32
     out_t = pl.pallas_call(
         functools.partial(_spmm_gather_kernel, dtype=dtype,
-                          group_batch=gb, packed=packed),
+                          group_batch=gb, packed=packed, span=span),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,    # subtile, dst_tile, first
+            num_scalar_prefetch=4,    # meta, trans_sb, dst_tile, first
             grid=(g.n_chunks,),
             in_specs=[
                 edge_spec, edge_spec, edge_spec,
                 pl.BlockSpec(memory_space=pl.ANY),     # xT stays in HBM
             ],
-            out_specs=pl.BlockSpec((d, TILE_DST_G),
-                                   lambda i, st, dt, first: (0, dt[i]),
-                                   memory_space=pltpu.VMEM),
+            out_specs=pl.BlockSpec(
+                (d, TILE_DST_G),
+                lambda i, meta, tsb, dt, first: (0, dt[i]),
+                memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((slots, panel_rows, SUB), panel_dtype),
-                pltpu.SemaphoreType.DMA((slots,)),
+                pltpu.VMEM((NSLOTS, panel_rows, span * SUB), panel_dtype),
+                pltpu.SemaphoreType.DMA((NSLOTS,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((d, g.n_dst_pad), jnp.float32),
         interpret=INTERPRET,
-    )(g.subtile, g.dst_tile, g.first_of_dst,
+    )(g.g_meta, g.trans_sb, g.dst_tile, g.first_of_dst,
       g.src_local, g.dst_local, g.val, xt)
     return out_t.T[: g.n_dst]
 

@@ -114,25 +114,36 @@ def build_enc_graph_sharded(pairs, values, n_drug: int, n_dis: int,
 # aggregation + ICI all_gather).
 
 
-def _pad_chunks(g, c_max: int, n_pad_val: int):
-    """Pad a GroupedCoo to ``c_max`` chunks (padding carries val=0,
-    dst_tile=0, first=0 — accumulates zeros into tile 0, harmless)."""
+def _pad_chunks(g, c_max: int, n_pad_val: int, t_max: int):
+    """Pad a GroupedCoo to ``c_max`` chunks and ``t_max`` panel
+    transitions (padding chunks carry val=0, meta=PAD_META, dst_tile=0,
+    first=0 — the kernel skips their gathers/matmuls and they
+    accumulate nothing).  Also normalises the static ``n_live`` to the
+    GLOBAL live count (``n_pad_val``): per-shard layouts get stacked
+    leaf-wise, which requires identical treedefs and leaf shapes —
+    per-shard static metadata must match."""
     import dataclasses as _dc
 
-    from dream_gnn_tpu.graph.grouped import GROUPS_PER_CHUNK
+    from dream_gnn_tpu.graph.grouped import GROUPS_PER_CHUNK, LEAD, PAD_META
 
+    tpad = t_max + LEAD - g.trans_sb.shape[0]
+    g = _dc.replace(
+        g, n_live=n_pad_val,
+        trans_sb=jnp.concatenate(
+            [g.trans_sb, jnp.full((tpad,), -1, jnp.int32)]))
     c = g.n_chunks
     if c == c_max:
         return g
     pc = c_max - c
     pad3 = lambda a, v=0: jnp.concatenate(
         [a, jnp.full((pc,) + a.shape[1:], v, a.dtype)], axis=0)
+    padg = lambda a, v=0: jnp.concatenate(
+        [a, jnp.full((pc * GROUPS_PER_CHUNK,), v, a.dtype)], axis=0)
     return _dc.replace(
         g,
         src_local=pad3(g.src_local), dst_local=pad3(g.dst_local),
         val=pad3(g.val), edge_id=pad3(g.edge_id, n_pad_val),
-        subtile=jnp.concatenate(
-            [g.subtile, jnp.zeros((pc * GROUPS_PER_CHUNK,), jnp.int32)]),
+        g_meta=padg(g.g_meta, PAD_META),
         dst_tile=pad3(g.dst_tile), first_of_dst=pad3(g.first_of_dst))
 
 
@@ -205,8 +216,11 @@ def _sharded_grouped_pairs(src, dst, val, n_src: int, n_dst: int,
         base += n_local
     cf = max(p.fwd.n_chunks for p in pairs)
     cb = max(p.bwd.n_chunks for p in pairs)
-    pairs = [GroupedCooPair(fwd=_pad_chunks(p.fwd, cf, base),
-                            bwd=_pad_chunks(p.bwd, cb, base))
+    from dream_gnn_tpu.graph.grouped import LEAD as _LEAD
+    tf = max(p.fwd.trans_sb.shape[0] for p in pairs) - _LEAD
+    tb = max(p.bwd.trans_sb.shape[0] for p in pairs) - _LEAD
+    pairs = [GroupedCooPair(fwd=_pad_chunks(p.fwd, cf, base, tf),
+                            bwd=_pad_chunks(p.bwd, cb, base, tb))
              for p in pairs]
     return jax.tree.map(lambda *ls: jnp.stack(ls), *pairs), rps
 
@@ -245,8 +259,11 @@ def _sharded_grouped_pairs_ring(src, dst, val, n_src: int, n_dst: int,
         grid.append(row)
     cf = max(p.fwd.n_chunks for row in grid for p in row)
     cb = max(p.bwd.n_chunks for row in grid for p in row)
-    grid = [[GroupedCooPair(fwd=_pad_chunks(p.fwd, cf, base),
-                            bwd=_pad_chunks(p.bwd, cb, base))
+    from dream_gnn_tpu.graph.grouped import LEAD as _LEAD
+    tf = max(p.fwd.trans_sb.shape[0] for row in grid for p in row) - _LEAD
+    tb = max(p.bwd.trans_sb.shape[0] for row in grid for p in row) - _LEAD
+    grid = [[GroupedCooPair(fwd=_pad_chunks(p.fwd, cf, base, tf),
+                            bwd=_pad_chunks(p.bwd, cb, base, tb))
              for p in row] for row in grid]
     rows = [jax.tree.map(lambda *ls: jnp.stack(ls), *row) for row in grid]
     return jax.tree.map(lambda *ls: jnp.stack(ls), *rows), rps_dst, rps_src

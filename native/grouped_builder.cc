@@ -3,9 +3,15 @@
 // Host-side construction of the sub-vreg gather kernel's layout
 // (dream_gnn_tpu/graph/grouped.py): edges stable-sorted by
 // (dst_tile, src_subtile), split into groups of <= SUB edges confined
-// to one 128-row source sub-tile, groups batched GROUPS_PER_CHUNK per
-// chunk per dst tile (every dst tile gets at least one chunk — the
-// kernel zeroes each output block on first visit).
+// to one `span`-sub-tile source superblock (and one dst tile), groups
+// batched GROUPS_PER_CHUNK per chunk per dst tile (every dst tile gets
+// at least one chunk — the kernel zeroes each output block on first
+// visit).  Also emits the kernel's panel-DMA schedule, compressed to
+// fit the TPU's ~1 MB SMEM: per group slot one packed int32
+// (trans_id << span) | touch_bitmask (INT32_MIN for padding groups),
+// plus the superblock id per panel transition (padded with `lead`
+// trailing -1s).  The kernel derives ring slots, waits, and
+// lead-ahead DMA starts from the trans_id stream.
 //
 // The NumPy path costs ~16 s at 10M edges (lexsort + a Python loop
 // over ~150k groups); this C++ core does one std::sort plus linear
@@ -13,13 +19,14 @@
 // builder (pinned by tests/test_native_builder.py).
 //
 // C ABI (ctypes, dream_gnn_tpu/graph/native.py):
-//   void*  gb_plan(src, dst, val, n_edges, n_src, n_dst,
-//                  sub, tile_dst, groups_per_chunk)  -> handle
-//   int64  gb_num_chunks(handle)
-//   int64  gb_num_live(handle)
-//   void   gb_fill(handle, g_src, g_dst, g_val, g_eid, g_sub,
-//                  c_dt, c_first)
-//   void   gb_free(handle)
+//   void*  gb2_plan(src, dst, val, n_edges, n_src, n_dst,
+//                   sub, tile_dst, groups_per_chunk, span, lead)
+//   int64  gb2_num_chunks(handle)
+//   int64  gb2_num_live(handle)
+//   int64  gb2_num_trans(handle)   // panel transitions
+//   void   gb2_fill(handle, g_src, g_dst, g_val, g_eid,
+//                   g_meta, trans_sb, c_dt, c_first)
+//   void   gb2_free(handle)
 
 #include <algorithm>
 #include <cstdint>
@@ -32,27 +39,31 @@ struct GPlan {
   // live edges in (dst_tile, src_subtile, input-order) order
   std::vector<int32_t> src, dst, eid;
   std::vector<float> val;
-  // groups: [start, end) edge ranges + subtile; chunks: group ranges
+  // groups: [start, end) edge ranges + superblock; chunks: group ranges
   std::vector<int64_t> g_start, g_end;
-  std::vector<int32_t> g_sub;
+  std::vector<int32_t> g_sb;
   std::vector<int64_t> c_gstart, c_gend;  // group-index ranges per chunk
   std::vector<int32_t> c_dt;
-  int sub = 0, tile_dst = 0, gpc = 0;
+  int sub = 0, tile_dst = 0, gpc = 0, span = 1, lead = 2;
   int64_t n_live = 0;
+  int64_t n_trans = -1;  // computed lazily in gb2_num_trans
 };
 
 }  // namespace
 
 extern "C" {
 
-void* gb_plan(const int32_t* src, const int32_t* dst, const float* val,
-              int64_t n_edges, int64_t n_src, int64_t n_dst,
-              int sub, int tile_dst, int groups_per_chunk) {
+void* gb2_plan(const int32_t* src, const int32_t* dst, const float* val,
+               int64_t n_edges, int64_t n_src, int64_t n_dst,
+               int sub, int tile_dst, int groups_per_chunk, int span,
+               int lead) {
   (void)n_src;
   auto* p = new GPlan;
   p->sub = sub;
   p->tile_dst = tile_dst;
   p->gpc = groups_per_chunk;
+  p->span = span;
+  p->lead = lead;
 
   // Live edges keep their compacted input index (the physical edge id
   // shared between the fwd and transposed layouts).  Sort (key, edge)
@@ -93,17 +104,17 @@ void* gb_plan(const int32_t* src, const int32_t* dst, const float* val,
     p->eid[i] = live_id[e];
   }
 
-  // Groups: a new group at every (dt, st) block change and every `sub`
-  // edges within a block.
+  // Groups: a new group at every (dt, superblock) change and every
+  // `sub` edges within a block.
   int64_t prev_key = -1;
   int64_t in_group = 0;
   for (int64_t i = 0; i < n; ++i) {
-    const int64_t key =
-        ((int64_t)(p->dst[i] / tile_dst) << 32) | (uint32_t)(p->src[i] / sub);
+    const int64_t key = ((int64_t)(p->dst[i] / tile_dst) << 32) |
+                        (uint32_t)(p->src[i] / sub / span);
     if (key != prev_key || in_group == sub) {
       if (!p->g_start.empty()) p->g_end.push_back(i);
       p->g_start.push_back(i);
-      p->g_sub.push_back(p->src[i] / sub);
+      p->g_sb.push_back(p->src[i] / sub / span);
       prev_key = key;
       in_group = 0;
     }
@@ -137,44 +148,87 @@ void* gb_plan(const int32_t* src, const int32_t* dst, const float* val,
   return p;
 }
 
-int64_t gb_num_chunks(void* handle) {
+int64_t gb2_num_chunks(void* handle) {
   return (int64_t)((GPlan*)handle)->c_gstart.size();
 }
 
-int64_t gb_num_live(void* handle) { return ((GPlan*)handle)->n_live; }
+int64_t gb2_num_live(void* handle) { return ((GPlan*)handle)->n_live; }
 
-void gb_fill(void* handle, int32_t* g_src, int32_t* g_dst, float* g_val,
-             int32_t* g_eid, int32_t* g_sub, int32_t* c_dt,
-             int32_t* c_first) {
+namespace {
+
+// Panel transitions = maximal runs of equal (dst_tile, superblock)
+// over live groups in (chunk, slot) stream order.
+int64_t count_trans(GPlan* p) {
+  int64_t n_trans = 0;
+  int64_t prev = -1;
+  const int64_t c = (int64_t)p->c_gstart.size();
+  for (int64_t ci = 0; ci < c; ++ci) {
+    for (int64_t g = p->c_gstart[ci]; g < p->c_gend[ci]; ++g) {
+      const int64_t key =
+          ((int64_t)p->c_dt[ci] << 32) | (uint32_t)p->g_sb[g];
+      if (n_trans == 0 || key != prev) ++n_trans;
+      prev = key;
+    }
+  }
+  return n_trans;
+}
+
+}  // namespace
+
+int64_t gb2_num_trans(void* handle) {
+  auto* p = (GPlan*)handle;
+  if (p->n_trans < 0) p->n_trans = count_trans(p);
+  return p->n_trans;
+}
+
+void gb2_fill(void* handle, int32_t* g_src, int32_t* g_dst, float* g_val,
+              int32_t* g_eid, int32_t* g_meta, int32_t* trans_sb,
+              int32_t* c_dt, int32_t* c_first) {
   auto* p = (GPlan*)handle;
   const int64_t c = (int64_t)p->c_gstart.size();
-  const int sub = p->sub, gpc = p->gpc;
+  const int sub = p->sub, gpc = p->gpc, span = p->span;
+  const int span_sub = sub * span;
   const int64_t slots = (int64_t)gpc * sub;
+  const int64_t n_gslots = c * gpc;
+  const int32_t pad_meta = INT32_MIN;
   std::memset(g_src, 0, sizeof(int32_t) * c * slots);
   std::memset(g_dst, 0, sizeof(int32_t) * c * slots);
   std::memset(g_val, 0, sizeof(float) * c * slots);
-  std::memset(g_sub, 0, sizeof(int32_t) * c * gpc);
+  for (int64_t i = 0; i < n_gslots; ++i) g_meta[i] = pad_meta;
   // Padding slots carry the sentinel edge id n_live.
   for (int64_t i = 0; i < c * slots; ++i) g_eid[i] = (int32_t)p->n_live;
 
+  int64_t n_trans = 0;
+  int64_t prev = -1;
   for (int64_t ci = 0; ci < c; ++ci) {
     c_dt[ci] = p->c_dt[ci];
     c_first[ci] = (ci == 0 || p->c_dt[ci] != p->c_dt[ci - 1]) ? 1 : 0;
     for (int64_t g = p->c_gstart[ci]; g < p->c_gend[ci]; ++g) {
       const int64_t gj = g - p->c_gstart[ci];
-      g_sub[ci * gpc + gj] = p->g_sub[g];
+      const int64_t pos = ci * gpc + gj;
+      const int32_t sb = p->g_sb[g];
+      const int64_t key = ((int64_t)p->c_dt[ci] << 32) | (uint32_t)sb;
+      if (n_trans == 0 || key != prev) {
+        trans_sb[n_trans] = sb;
+        ++n_trans;
+      }
+      prev = key;
+      int32_t touch = 0;
       const int64_t a = p->g_start[g], b = p->g_end[g];
       for (int64_t e = a; e < b; ++e) {
         const int64_t slot = ci * slots + gj * sub + (e - a);
-        g_src[slot] = p->src[e] % sub;
+        g_src[slot] = p->src[e] % span_sub;
         g_dst[slot] = p->dst[e] % p->tile_dst;
         g_val[slot] = p->val[e];
         g_eid[slot] = p->eid[e];
+        touch |= 1 << (p->src[e] / sub - (int64_t)sb * span);
       }
+      g_meta[pos] = (int32_t)(((n_trans - 1) << span) | touch);
     }
   }
+  for (int k = 0; k < p->lead; ++k) trans_sb[n_trans + k] = -1;
 }
 
-void gb_free(void* handle) { delete (GPlan*)handle; }
+void gb2_free(void* handle) { delete (GPlan*)handle; }
 
 }  // extern "C"

@@ -79,8 +79,8 @@ def test_native_grouped_bit_matches_numpy(rng, n_dst, n_src, n_edges):
                               use_native=True)
     g_p = grouped_from_arrays(src, dst, val, n_src, n_dst,
                               use_native=False)
-    for field in ("src_local", "dst_local", "val", "edge_id", "subtile",
-                  "dst_tile", "first_of_dst"):
+    for field in ("src_local", "dst_local", "val", "edge_id", "g_meta",
+                  "trans_sb", "dst_tile", "first_of_dst"):
         np.testing.assert_array_equal(
             np.asarray(getattr(g_n, field)),
             np.asarray(getattr(g_p, field)), err_msg=field)

@@ -25,19 +25,20 @@ def _rand_edges(rng, n_dst, n_src, n_edges):
     return src, dst, val
 
 
+@pytest.mark.parametrize("span", [1, 2, 8])
 @pytest.mark.parametrize("n_dst,n_src,n_edges", [
     (600, 700, 3000),        # multi-tile
     (100, 90, 200),          # single tile
     (1200, 300, 400),        # empty dst tiles
 ])
-def test_gather_matches_dense(rng, n_dst, n_src, n_edges):
+def test_gather_matches_dense(rng, n_dst, n_src, n_edges, span):
     src, dst, val = _rand_edges(rng, n_dst, n_src, n_edges)
     a = np.zeros((n_dst, n_src), np.float32)
     np.add.at(a, (dst, src), val)
     x = rng.normal(size=(n_src, 128)).astype(np.float32)
     expected = a @ x
 
-    g = grouped_from_arrays(src, dst, val, n_src, n_dst)
+    g = grouped_from_arrays(src, dst, val, n_src, n_dst, span=span)
     out = np.asarray(psg._spmm_gather_raw(g, jnp.asarray(x),
                                           dtype=jnp.float32))
     np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-4)
