@@ -3,37 +3,57 @@
 Mosaic's ``tpu.dynamic_gather`` shuffles within a single vreg, so one
 hardware gather addresses at most 128 lanes (``SUB``).  Edges are
 therefore organised into GROUPS of <= 128 edges whose sources all fall
-in one SUPERBLOCK of ``span`` consecutive 128-row src sub-tiles (and
-whose destinations fall in one 512-row dst tile); the kernel
-(kernels/pallas_spmm_gather.py) gathers each group with up to ``span``
-hardware shuffles (one per touched sub-tile) merged by a select tree.
+in a WINDOW of ``window`` consecutive 128-row src sub-tiles inside one
+SUPERBLOCK of ``span`` sub-tiles (and whose destinations fall in one
+512-row dst tile).  The kernel (kernels/pallas_spmm_gather.py) gathers
+each group with exactly ``window`` hardware shuffles (one per window
+sub-tile, starting at the group's base sub-tile ``p0``) merged by a
+select tree.
 
-Why a span > 1: with 128-row source blocks a uniform-random 10M-edge
-graph fills groups only ~51% (the mean (dst_tile, sub_tile) block holds
-~65 edges), and the scatter matmul pays TILE_DST * d MACs per SLOT —
-padding slots double the MXU bill, degenerating the kernel to
-dense-matmul FLOPs (d * n_src * n_dst).  Spanning 8 sub-tiles raises
-the mean block population to ~520 edges and slot occupancy to ~88%,
-nearly halving the dominant scatter cost, while total panel-DMA bytes
-stay constant (each (dst_tile, superblock) panel is fetched once).
+Two independent levers, decoupled on purpose:
+
+- ``span`` sizes the PANEL — the superblock slab DMA'd from HBM into
+  the VMEM ring.  Large spans amortise the per-(dst_tile, superblock)
+  panel fetch (total panel bytes = n_dst_tiles * n_src * d * bytes,
+  independent of span, but FEWER, larger DMAs pipeline better) and
+  raise slot occupancy: with span=16 a uniform-random 10M-edge graph
+  fills 128-edge slots to ~93% vs ~51% at span=1.  Padding slots
+  multiply the scatter matmul's MACs (TILE_DST * d per slot), so
+  occupancy is the scatter cost's denominator.
+- ``window`` caps the GATHER work per group.  Edges are sorted by
+  (dst_tile, src_subtile), so a group's touched sub-tiles are a
+  consecutive range; cutting groups whenever that range would exceed
+  ``window`` keeps the per-group shuffle count at ``window`` instead
+  of ``span``.  At 10M random edges a 128-edge run almost never spans
+  more than 3 sub-tiles (measured: window=3 costs +0.7% groups vs
+  unbounded at span=16), so span=16/window=3 gets span-16 occupancy
+  with 3 shuffles per group where the round-2 kernel paid span(=8)
+  shuffles — the dominant VPU cost of the kernel.
 
 Superblock panels are DMA'd into a ring of ``NSLOTS`` resident VMEM
 slots on a host-precomputed schedule compressed to fit SMEM (~1 MB):
-per group slot one packed int32 ``(trans_id << span) | touch_bitmask``
-(PAD_META for padding groups), plus one superblock id per panel
-TRANSITION.  The kernel derives everything else: ring slot =
-``trans_id % NSLOTS``, a wait fires at each trans_id change (and issues
-the DMA for transition ``trans_id + LEAD`` so copies ride ``LEAD``
-transitions ahead of their consumer), and the touch bitmask gates the
-gather/select work.  Per-group schedule cost is 4 bytes — the earlier
-uncompressed schedule (wait/slot/touch/start channels per group) blew
-the 1 MB SMEM budget at 10M edges.
+per group slot one packed int32
+``(trans_id << (p0_bits + window)) | (p0 << window) | touch_mask``
+(PAD_META for padding groups), where ``p0`` is the group's base
+sub-tile within the superblock (clamped to ``span - window`` so the
+window never leaves the panel) and ``touch_mask`` flags the touched
+window sub-tiles (all zero => padding; used for batch skip).  Plus one
+superblock id per panel TRANSITION.  The kernel derives everything
+else: ring slot = ``trans_id % NSLOTS``, a wait fires at each trans_id
+change (and issues the DMA for transition ``trans_id + LEAD`` so
+copies ride ``LEAD`` transitions ahead of their consumer).  Per-group
+schedule cost is 4 bytes — an uncompressed schedule (wait/slot/touch/
+start channels per group) blew the 1 MB SMEM budget at 10M edges.
 
 Hierarchy: chunk = GROUPS_PER_CHUNK groups sharing a dst tile; groups
 are runs of (dst_tile, src_subtile)-sorted edges cut at superblock
-boundaries.  Padding groups carry ``val == 0`` and ``touch == 0`` (the
-kernel skips their gathers and, if a whole group batch is padding, its
-scatter matmul).
+boundaries, window overflows, and 128 edges.  Padding groups carry
+``val == 0`` and ``touch == 0`` (the kernel skips a whole group batch
+of padding's scatter matmul).
+
+Replaces DGL's C++ ``update_all(copy_u, sum)`` SpMM
+(/root/reference/layers.py:229-232) at scales the reference never
+reaches.
 """
 
 from __future__ import annotations
@@ -47,13 +67,20 @@ import numpy as np
 SUB = 128                 # src rows per hardware gather (one vreg of lanes)
 TILE_DST_G = 512          # dst rows per output block
 GROUPS_PER_CHUNK = 16
-SPAN = 8                  # src sub-tiles per superblock panel
+SPAN = 16                 # src sub-tiles per superblock panel
+WINDOW = 3                # consecutive sub-tiles addressable per group
 NSLOTS = 4                # resident superblock panels (VMEM ring, pow2)
 LEAD = 2                  # panel DMA issued LEAD transitions ahead
 PAD_META = np.int32(np.iinfo(np.int32).min)   # g_meta of padding groups
-#   touch bits all 0 (gathers skipped); trans_id bits arithmetic-shift
-#   to a negative id no live group carries, so the group after a
-#   padding run always re-waits its (new) transition.
+#   touch bits all 0 (batch-skip detects padding); p0 bits decode to 0;
+#   trans_id bits arithmetic-shift to a negative id no live group
+#   carries, so the group after a padding run always re-waits its (new)
+#   transition.
+
+
+def p0_bits_for(span: int) -> int:
+    """Bits used for the base-sub-tile field of the packed meta."""
+    return (span - 1).bit_length()
 
 
 @jax.tree_util.register_dataclass
@@ -62,8 +89,9 @@ class GroupedCoo:
     src_local: jnp.ndarray    # (C, G, 128) int32 in [0, span * SUB)
     dst_local: jnp.ndarray    # (C, G, 128) int32 in [0, TILE_DST_G)
     val: jnp.ndarray          # (C, G, 128) float32, 0 = padding
-    g_meta: jnp.ndarray       # (C * G,) int32 — (trans_id << span) |
-    #                           touched-sub-tile bitmask; PAD_META for
+    g_meta: jnp.ndarray       # (C * G,) int32 — packed
+    #                           (trans_id << (p0_bits + window)) |
+    #                           (p0 << window) | touch; PAD_META for
     #                           padding groups
     trans_sb: jnp.ndarray     # (T + LEAD,) int32 — superblock id per
     #                           panel transition, -1 beyond the last
@@ -78,6 +106,8 @@ class GroupedCoo:
     n_src: int = dataclasses.field(metadata=dict(static=True))
     n_dst: int = dataclasses.field(metadata=dict(static=True))
     span: int = dataclasses.field(default=SPAN, metadata=dict(static=True))
+    window: int = dataclasses.field(default=WINDOW,
+                                    metadata=dict(static=True))
     n_live: int = dataclasses.field(default=0, metadata=dict(static=True))
 
     @property
@@ -105,11 +135,14 @@ class GroupedCoo:
 
 
 def grouped_from_arrays(src, dst, val, n_src: int, n_dst: int,
-                        span: int = SPAN,
+                        span: int = SPAN, window: int | None = None,
                         use_native: bool = True) -> GroupedCoo:
     src = np.asarray(src, np.int64)
     dst = np.asarray(dst, np.int64)
     val = np.asarray(val, np.float32)
+    window = min(WINDOW if window is None else window, span)
+    p0b = p0_bits_for(span)
+    shift = p0b + window
 
     # Native C++ builder (one std::sort + linear fill; ~16x the NumPy
     # path at 10M edges).  Output contract is bit-identical — pinned by
@@ -117,7 +150,8 @@ def grouped_from_arrays(src, dst, val, n_src: int, n_dst: int,
     from dream_gnn_tpu.graph import native as _native
     built = _native.build_grouped_native(src, dst, val, n_src, n_dst,
                                          SUB, TILE_DST_G,
-                                         GROUPS_PER_CHUNK, span, LEAD) \
+                                         GROUPS_PER_CHUNK, span, window,
+                                         LEAD) \
         if use_native else None
     if built is not None:
         (g_src, g_dst, g_val, g_eid, g_meta, trans_sb,
@@ -128,7 +162,7 @@ def grouped_from_arrays(src, dst, val, n_src: int, n_dst: int,
             trans_sb=jnp.asarray(trans_sb),
             dst_tile=jnp.asarray(c_dt), first_of_dst=jnp.asarray(c_first),
             edge_id=jnp.asarray(g_eid), n_src=n_src, n_dst=n_dst,
-            span=span, n_live=int(n_live))
+            span=span, window=window, n_live=int(n_live))
     live = val != 0
     src, dst, val = src[live], dst[live], val[live]
     phys = np.arange(len(src), dtype=np.int64)   # live-edge indexing
@@ -142,18 +176,27 @@ def grouped_from_arrays(src, dst, val, n_src: int, n_dst: int,
                                        phys[order])
     n = len(src)
 
-    # Group starts: (dst_tile, superblock) changes or every SUB edges.
+    # Group starts: (dst_tile, superblock) changes, every SUB edges, or
+    # when the sub-tile window would exceed ``window`` (st is sorted
+    # within a block, so the touched range of a run is consecutive).
     block_id = dt * (1 << 32) + sb
     new_block = np.concatenate([[True], block_id[1:] != block_id[:-1]]) \
         if n else np.zeros((0,), bool)
     block_starts = np.nonzero(new_block)[0]
-    starts = []
+    starts, ends = [], []
     for b0, b1 in zip(block_starts,
                       np.concatenate([block_starts[1:], [n]])):
-        starts.extend(range(b0, b1, SUB))
+        i = b0
+        sts = st[b0:b1]
+        while i < b1:
+            j = min(i + SUB, b1)
+            jw = b0 + np.searchsorted(sts, st[i] + window, side="left")
+            j = min(j, int(jw))
+            starts.append(i)
+            ends.append(j)
+            i = j
     starts = np.asarray(starts, np.int64)
-    ends = np.minimum(np.concatenate([starts[1:], [n]]) if len(starts)
-                      else np.zeros((0,), np.int64), starts + SUB)
+    ends = np.asarray(ends, np.int64)
 
     # Groups -> chunks by dst tile (GROUPS_PER_CHUNK per chunk).
     n_dst_tiles = -(-n_dst // TILE_DST_G)
@@ -177,6 +220,7 @@ def grouped_from_arrays(src, dst, val, n_src: int, n_dst: int,
     g_val = np.zeros((c, GROUPS_PER_CHUNK, SUB), np.float32)
     g_eid = np.full((c, GROUPS_PER_CHUNK, SUB), n, np.int32)
     g_touch = np.zeros((c * GROUPS_PER_CHUNK,), np.int32)
+    g_p0 = np.zeros((c * GROUPS_PER_CHUNK,), np.int32)
     group_sb = np.zeros((c * GROUPS_PER_CHUNK,), np.int64)
     group_live = np.zeros((c * GROUPS_PER_CHUNK,), bool)
     c_dt = np.zeros((c,), np.int32)
@@ -192,8 +236,12 @@ def grouped_from_arrays(src, dst, val, n_src: int, n_dst: int,
             pos = ci * GROUPS_PER_CHUNK + gj
             group_sb[pos] = sb[a]
             group_live[pos] = True
+            # Base sub-tile, clamped so [p0, p0 + window) stays inside
+            # the span-panel even for groups near the superblock tail.
+            p0 = min(int(st[a] - sb[a] * span), span - window)
+            g_p0[pos] = p0
             for p in np.unique(st[a:b] - sb[a] * span):
-                g_touch[pos] |= 1 << int(p)
+                g_touch[pos] |= 1 << (int(p) - p0)
     first = np.concatenate([[1], (c_dt[1:] != c_dt[:-1]).astype(np.int32)])
 
     # Panel transitions = maximal live-group runs of equal
@@ -212,12 +260,17 @@ def grouped_from_arrays(src, dst, val, n_src: int, n_dst: int,
             trans_sb_list.append(int(group_sb[g]))
         prev = trans_key[g]
         tid = len(trans_sb_list) - 1
-        g_meta[g] = (tid << span) | int(g_touch[g])
-    n_trans = len(trans_sb_list)
-    if n_trans << span >= 1 << 31:
-        raise ValueError(
-            f"{n_trans} panel transitions with span={span} overflow the "
-            f"packed int32 schedule; use a smaller span")
+        # Overflow check BEFORE the packed assignment: numpy>=1.24
+        # raises a raw OverflowError on an out-of-range int32 store,
+        # so both builder paths must fail with the same ValueError
+        # ahead of it (the native path checks before filling too).
+        if (tid + 1) << shift >= 1 << 31:
+            raise ValueError(
+                f"{tid + 1} panel transitions with span={span}/"
+                f"window={window} overflow the packed int32 schedule; "
+                f"use a smaller span")
+        g_meta[g] = (tid << shift) | (int(g_p0[g]) << window) \
+            | int(g_touch[g])
     trans_sb_arr = np.concatenate(
         [np.asarray(trans_sb_list, np.int32),
          np.full((LEAD,), -1, np.int32)])
@@ -228,7 +281,7 @@ def grouped_from_arrays(src, dst, val, n_src: int, n_dst: int,
         trans_sb=jnp.asarray(trans_sb_arr),
         dst_tile=jnp.asarray(c_dt), first_of_dst=jnp.asarray(first),
         edge_id=jnp.asarray(g_eid), n_src=n_src, n_dst=n_dst, span=span,
-        n_live=int(n))
+        window=window, n_live=int(n))
 
 
 @jax.tree_util.register_dataclass
@@ -239,10 +292,13 @@ class GroupedCooPair:
 
 
 def grouped_pair_from_arrays(src, dst, val, n_src: int, n_dst: int,
-                             span: int = SPAN) -> GroupedCooPair:
+                             span: int = SPAN,
+                             window: int | None = None) -> GroupedCooPair:
     return GroupedCooPair(
-        fwd=grouped_from_arrays(src, dst, val, n_src, n_dst, span=span),
-        bwd=grouped_from_arrays(dst, src, val, n_dst, n_src, span=span))
+        fwd=grouped_from_arrays(src, dst, val, n_src, n_dst, span=span,
+                                window=window),
+        bwd=grouped_from_arrays(dst, src, val, n_dst, n_src, span=span,
+                                window=window))
 
 
 @jax.tree_util.register_dataclass

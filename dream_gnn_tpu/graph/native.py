@@ -95,25 +95,25 @@ def _gload() -> Optional[ctypes.CDLL]:
         i32p = ctypes.POINTER(ctypes.c_int32)
         f32p = ctypes.POINTER(ctypes.c_float)
         try:
-            lib.gb2_plan
+            lib.gb3_plan
         except AttributeError:   # stale prebuilt artifact, old ABI
             return None
-        lib.gb2_plan.restype = ctypes.c_void_p
-        lib.gb2_plan.argtypes = [i32p, i32p, f32p, ctypes.c_int64,
+        lib.gb3_plan.restype = ctypes.c_void_p
+        lib.gb3_plan.argtypes = [i32p, i32p, f32p, ctypes.c_int64,
                                  ctypes.c_int64, ctypes.c_int64,
                                  ctypes.c_int, ctypes.c_int, ctypes.c_int,
-                                 ctypes.c_int, ctypes.c_int]
-        lib.gb2_num_chunks.restype = ctypes.c_int64
-        lib.gb2_num_chunks.argtypes = [ctypes.c_void_p]
-        lib.gb2_num_live.restype = ctypes.c_int64
-        lib.gb2_num_live.argtypes = [ctypes.c_void_p]
-        lib.gb2_num_trans.restype = ctypes.c_int64
-        lib.gb2_num_trans.argtypes = [ctypes.c_void_p]
-        lib.gb2_fill.restype = None
-        lib.gb2_fill.argtypes = [ctypes.c_void_p, i32p, i32p, f32p,
+                                 ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        lib.gb3_num_chunks.restype = ctypes.c_int64
+        lib.gb3_num_chunks.argtypes = [ctypes.c_void_p]
+        lib.gb3_num_live.restype = ctypes.c_int64
+        lib.gb3_num_live.argtypes = [ctypes.c_void_p]
+        lib.gb3_num_trans.restype = ctypes.c_int64
+        lib.gb3_num_trans.argtypes = [ctypes.c_void_p]
+        lib.gb3_fill.restype = None
+        lib.gb3_fill.argtypes = [ctypes.c_void_p, i32p, i32p, f32p,
                                  i32p, i32p, i32p, i32p, i32p]
-        lib.gb2_free.restype = None
-        lib.gb2_free.argtypes = [ctypes.c_void_p]
+        lib.gb3_free.restype = None
+        lib.gb3_free.argtypes = [ctypes.c_void_p]
         _GLIB = lib
         return _GLIB
 
@@ -124,7 +124,7 @@ def grouped_available() -> bool:
 
 def build_grouped_native(src, dst, val, n_src: int, n_dst: int,
                          sub: int, tile_dst: int, groups_per_chunk: int,
-                         span: int, lead: int):
+                         span: int, window: int, lead: int):
     """Returns (g_src, g_dst, g_val, g_eid, g_meta, trans_sb, c_dt,
     c_first, n_live) numpy arrays with the same contract as
     graph/grouped.py's NumPy builder, or None if the native library is
@@ -140,28 +140,32 @@ def build_grouped_native(src, dst, val, n_src: int, n_dst: int,
     def _p(a, t):
         return a.ctypes.data_as(ctypes.POINTER(t))
 
-    h = lib.gb2_plan(_p(src, ctypes.c_int32), _p(dst, ctypes.c_int32),
+    h = lib.gb3_plan(_p(src, ctypes.c_int32), _p(dst, ctypes.c_int32),
                      _p(val, ctypes.c_float), len(src), n_src, n_dst,
-                     sub, tile_dst, groups_per_chunk, span, lead)
+                     sub, tile_dst, groups_per_chunk, span, window, lead)
     try:
-        c = max(int(lib.gb2_num_chunks(h)), 1)
-        n_trans = int(lib.gb2_num_trans(h))
-        if n_trans << span >= 1 << 31:
+        from dream_gnn_tpu.graph.grouped import p0_bits_for
+
+        c = max(int(lib.gb3_num_chunks(h)), 1)
+        n_trans = int(lib.gb3_num_trans(h))
+        shift = p0_bits_for(span) + min(window, span)
+        if n_trans << shift >= 1 << 31:
             raise ValueError(
-                f"{n_trans} panel transitions with span={span} overflow "
-                f"the packed int32 schedule; use a smaller span")
+                f"{n_trans} panel transitions with span={span}/"
+                f"window={window} overflow the packed int32 schedule; "
+                f"use a smaller span")
         g_src = np.zeros((c, groups_per_chunk, sub), np.int32)
         g_dst = np.zeros((c, groups_per_chunk, sub), np.int32)
         g_val = np.zeros((c, groups_per_chunk, sub), np.float32)
         g_eid = np.full((c, groups_per_chunk, sub),
-                        int(lib.gb2_num_live(h)), np.int32)
+                        int(lib.gb3_num_live(h)), np.int32)
         g_meta = np.full((c * groups_per_chunk,),
                          np.iinfo(np.int32).min, np.int32)
         trans_sb = np.full((n_trans + lead,), -1, np.int32)
         c_dt = np.zeros((c,), np.int32)
         c_first = np.zeros((c,), np.int32)
-        if lib.gb2_num_chunks(h) > 0:
-            lib.gb2_fill(h, _p(g_src, ctypes.c_int32),
+        if lib.gb3_num_chunks(h) > 0:
+            lib.gb3_fill(h, _p(g_src, ctypes.c_int32),
                          _p(g_dst, ctypes.c_int32),
                          _p(g_val, ctypes.c_float),
                          _p(g_eid, ctypes.c_int32),
@@ -172,9 +176,9 @@ def build_grouped_native(src, dst, val, n_src: int, n_dst: int,
         else:
             c_first[0] = 1
         return (g_src, g_dst, g_val, g_eid, g_meta, trans_sb, c_dt,
-                c_first, int(lib.gb2_num_live(h)))
+                c_first, int(lib.gb3_num_live(h)))
     finally:
-        lib.gb2_free(h)
+        lib.gb3_free(h)
 
 
 def build_blocked_native(src, dst, val, n_src: int, n_dst: int,

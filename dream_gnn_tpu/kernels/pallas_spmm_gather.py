@@ -2,35 +2,53 @@
 
 ``out[n] = sum_e val_e * x[src_e]`` over a GroupedCoo layout
 (graph/grouped.py).  Per chunk (one 512-row dst tile, 16 groups of
-<=128 edges each confined to a ``span``-sub-tile source superblock):
+<=128 edges each confined to a ``window``-sub-tile window of a
+``span``-sub-tile source superblock):
 
     per superblock transition (host-scheduled, LEAD ahead):
-        panel (d, span*128) <- xT[:, sb * span*128 : +span*128]  # DMA
+        panel (span, d, 128) <- xT3[sb*span : (sb+1)*span]   # DMA
     per group (panel resident in a NSLOTS ring):
-        for each TOUCHED 128-row sub-tile p (host bitmask):
-            msgs |= where(id>>7 == p,
-                          dynamic_gather(panel[:, p], id & 127), .)
+        for p in range(window):                    # W, not span
+            msgs |= where(subtile(id) == p0 + p,
+                          dynamic_gather(panel[p0 + p], id & 127), .)
     per batch of GB groups:
-        M (TD, GB*128)  = (iota_dst == dst ids)             # VPU
-        accT (d, TD)   += msgsT contract_e M                # one MXU
+        M (TD, GB*128)  = (iota16 == dst ids)      # 16-bit VPU compare
+        accT (d, TD)   += msgsT contract_e M       # one MXU matmul
 
 The hardware gather works because each shuffle's table spans exactly
-one vreg of lanes (Mosaic's dynamic_gather limit); a straight-line
-select tree over the superblock's sub-tiles extends the addressable
-window to ``span * 128`` source rows, which is what keeps the 128-edge
-groups nearly full (see graph/grouped.py — occupancy is the scatter
-matmul's cost denominator).  The per-group body is deliberately
-branch-free values-only dataflow (measured: a variant that gated each
-sub-tile's shuffle behind a scalar `pl.when` and staged messages
-through VMEM scratch serialised Mosaic's software pipeline and lost
-more to stalls than the skipped shuffles saved).  A group batch that
-is all padding does skip its scatter matmul — one scalar test per
-batch — which keeps the sharded path's chunk-count padding near-free.
+one vreg of lanes (Mosaic's dynamic_gather limit).  The round-2 kernel
+extended the addressable range with a select tree over ALL ``span``
+sub-tiles of the superblock; since edges inside a group are sorted by
+source sub-tile, the touched sub-tiles are a consecutive range the
+layout now caps at ``window`` (graph/grouped.py) — the kernel gathers
+exactly ``window`` sub-tiles starting at the group's base ``p0``
+(decoded from the packed meta), cutting the dominant per-group VPU
+cost from ``span`` shuffles+selects to ``window`` while keeping
+span-sized panels for DMA amortisation and occupancy.  The per-group
+body stays branch-free values-only dataflow (measured in round 1: a
+variant that gated each sub-tile's shuffle behind a scalar ``pl.when``
+serialised Mosaic's software pipeline and lost more to stalls than the
+skipped shuffles saved — a dynamic ADDRESS, unlike dynamic control
+flow, keeps the pipeline static).  A group batch that is all padding
+does skip its scatter matmul — one scalar test per batch — which keeps
+the sharded path's chunk-count padding near-free.
+
+The scatter mask (one-hot of each edge's dst row, the second-largest
+VPU cost after the gathers) is built at 16-bit granularity: an int16
+iota/compare packs two lanes per 32-bit vreg word and the select emits
+bf16 ``1.0``s directly — half the vreg traffic of the f32 build.
 
 Source panels stream from HBM through an NSLOTS-deep VMEM ring with
 explicit async DMA issued LEAD transitions ahead (schedule precomputed
 on the host, where the whole group stream is known), so x never needs
-to fit in VMEM and copies ride under compute.
+to fit in VMEM and copies ride under compute.  The ring is zero-filled
+once at grid start: padding groups (meta=PAD_META) still execute their
+window gathers against slot ``tid % NSLOTS`` of a NEGATIVE tid —
+possibly a slot whose panel DMA never ran — and their ``val == 0``
+nullifies the contribution only if the gathered bits are finite
+(NaN * 0 = NaN would poison dst row 0 of a mixed live/padding batch).
+Zeroing makes every slot finite at all times; live panels are finite
+because x is.
 
 Backward = SpMM on the transposed grouping (GroupedCooPair.bwd); edge
 values are non-trainable.
@@ -55,17 +73,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 from dream_gnn_tpu.graph.grouped import (GROUPS_PER_CHUNK, LEAD, NSLOTS,
                                          SUB, TILE_DST_G, GroupedCoo,
-                                         GroupedCooPair)
+                                         GroupedCooPair, p0_bits_for)
 
 INTERPRET = False
+
+_SUB_SHIFT = SUB.bit_length() - 1
+assert 1 << _SUB_SHIFT == SUB, "SUB must be a power of two"
 
 # Groups fused into one scatter matmul.  The per-group scatter is a
 # tiny (d, 128) x (128, TILE_DST) MXU op whose launch/VPU overhead
 # (mask build, dtype casts, accumulate) dominates at 128-edge
 # granularity; batching GB groups widens it to (d, GB*128) x
 # (GB*128, TILE_DST) — identical MACs, 1/GB the launches.  Measured at
-# the 10M-edge scale config (scripts/bench_spmm_gather_variants.py,
-# span=8): gb=4 32.9 ms fwd, gb=8 31.3, gb=16 30.6.
+# the 10M-edge scale config (scripts/bench_spmm_gather_variants.py).
 GROUP_BATCH = 16
 
 # Pack two bf16 feature channels per 32-bit panel lane (halves panel
@@ -79,41 +99,67 @@ GROUP_BATCH = 16
 # dtype is bf16 (fp32 callers keep exact fp32 panels).
 PACK_PANELS = True
 
+# Build the dst one-hot scatter mask with 16-bit compares (two lanes
+# per vreg word).  DEAD ON v5e, kept as a documented negative result
+# for future targets: Mosaic rejects packed i16 iota, packed i16
+# compares ("Target does not support this comparison"), the f16 type
+# outright ("Unsupported type in mosaic dialect"), AND packed bf16
+# compares (same cmpf rejection on vector<...x2xbf16>) — the v5e VPU
+# simply has no 16-bit-packed compare.  The mask-build therefore stays
+# a 32-bit int compare; what we DO save is the per-chunk (512, 2048)
+# iota regeneration, materialised once into VMEM scratch instead (the
+# VPU reads operands from VMEM natively, so the resident plane costs
+# no generation ops on later chunks).
+MASK16 = False
+
 
 def _spmm_gather_kernel(meta_ref, trans_sb_ref, dst_tile_ref, first_ref,
                         src_ref, dst_ref, val_ref, xt_hbm, out_ref,
-                        panels, sems, *, dtype, group_batch,
-                        packed, span):
+                        panels, sems, rows_sc, *, dtype, group_batch,
+                        packed, span, window, mask16):
     i = pl.program_id(0)
+    p0b = p0_bits_for(span)
+    shift = p0b + window
+
+    @pl.when(i == 0)
+    def _zero_ring():
+        # Finite-bits invariant for padding groups (see module doc).
+        panels[...] = jnp.zeros_like(panels)
+        # Row-id plane for the scatter one-hot compare, computed ONCE
+        # per launch: later chunks read it as a VMEM compare operand
+        # instead of regenerating a (TILE_DST_G, gb*SUB) iota each.
+        rows_sc[0] = jax.lax.broadcasted_iota(
+            jnp.int32, rows_sc.shape[1:], 0)
 
     @pl.when(first_ref[i] == 1)
     def _zero():
         out_ref[:] = jnp.zeros_like(out_ref)
 
     d = out_ref.shape[0]
-    pr = panels.shape[1]          # panel rows: d (fp32) or d/2 (packed)
+    pr = panels.shape[2]          # panel rows: d (fp32) or d/2 (packed)
     ids_s = src_ref[0]            # (G, 128) int32 in [0, span*128)
     ids_d = dst_ref[0]
     val = val_ref[0]              # (G, 128) f32
     lanes = ids_s & (SUB - 1)
-    sels = ids_s >> 7             # sub-tile of each edge's source row
+    sels = ids_s >> _SUB_SHIFT    # sub-tile of each edge's source row
     gb = group_batch
     n_batches = GROUPS_PER_CHUNK // gb
-    rows = jax.lax.broadcasted_iota(jnp.int32, (TILE_DST_G, gb * SUB), 0)
+    del mask16   # dead on v5e (no 16-bit-packed compare; see MASK16)
 
     def panel_dma(sl, sb):
         return pltpu.make_async_copy(
-            xt_hbm.at[:, pl.ds(sb * span * SUB, span * SUB)],
+            xt_hbm.at[pl.ds(sb * span, span)],
             panels.at[sl], sems.at[sl])
 
-    touch_mask = (1 << span) - 1
+    touch_mask = (1 << window) - 1
     for b in range(n_batches):
         base = b * gb
         parts = []
         for g in range(gb):
             gid = i * GROUPS_PER_CHUNK + base + g
             meta = meta_ref[gid]
-            tid = meta >> span               # panel transition id
+            tid = meta >> shift              # panel transition id
+            p0 = (meta >> window) & ((1 << p0b) - 1) if p0b else 0
             sl = tid & (NSLOTS - 1)          # ring slot (0..3 even for
             #                                  PAD_META's negative tid)
             if base + g == 0:
@@ -133,7 +179,7 @@ def _spmm_gather_kernel(meta_ref, trans_sb_ref, dst_tile_ref, first_ref,
             # shifts to a negative tid so post-padding groups re-wait);
             # it first issues the DMA for transition tid + LEAD so
             # copies stay LEAD transitions ahead of their consumer.
-            prev_tid = meta_ref[jnp.maximum(gid - 1, 0)] >> span
+            prev_tid = meta_ref[jnp.maximum(gid - 1, 0)] >> shift
             boundary = (tid != prev_tid) | (gid == 0)
 
             @pl.when((meta >= 0) & boundary)
@@ -148,19 +194,19 @@ def _spmm_gather_kernel(meta_ref, trans_sb_ref, dst_tile_ref, first_ref,
                 panel_dma(sl, 0).wait()  # descriptor only sizes the wait
 
             # Gather this group's messages: one hardware shuffle per
-            # sub-tile of the superblock, merged by a value-level
-            # select tree (no branches, no scratch — keeps the
-            # pipeline running).
+            # WINDOW sub-tile starting at the group's base p0 (a
+            # dynamic address, not a branch — the pipeline stays
+            # static), merged by a value-level select tree.
             gl = base + g
             idx = jnp.broadcast_to(lanes[gl:gl + 1], (pr, SUB))
             sel = jnp.broadcast_to(sels[gl:gl + 1], (pr, SUB))
             msgs_g = None
-            for p in range(span):
-                panel = panels.at[sl][:, p * SUB:(p + 1) * SUB]
+            for p in range(window):
+                panel = panels[sl, p0 + p]         # (pr, SUB)
                 gp = jnp.take_along_axis(panel, idx, axis=1,
                                          mode="promise_in_bounds")
                 msgs_g = gp if msgs_g is None else \
-                    jnp.where(sel == p, gp, msgs_g)
+                    jnp.where(sel == p0 + p, gp, msgs_g)
             parts.append(msgs_g)
 
         batch_live = meta_ref[i * GROUPS_PER_CHUNK + base] & touch_mask
@@ -177,12 +223,26 @@ def _spmm_gather_kernel(meta_ref, trans_sb_ref, dst_tile_ref, first_ref,
                 lo = pltpu.bitcast(msgs << 16, jnp.float32)
                 msgs = jnp.concatenate([hi, lo], axis=0)   # (d, gb*128)
             v = val[base:base + gb].reshape(1, gb * SUB)
-            msgs = msgs * jnp.broadcast_to(v, (d, gb * SUB)).astype(
-                msgs.dtype)
             dsts = ids_d[base:base + gb].reshape(1, gb * SUB)
-            m = (rows == jnp.broadcast_to(dsts, (TILE_DST_G, gb * SUB)))
+            eq = rows_sc[0] == jnp.broadcast_to(dsts,
+                                                (TILE_DST_G, gb * SUB))
+            if jnp.dtype(dtype) == jnp.float32:
+                # Edge values ride the one-hot mask: the select emits
+                # val_e at the [dst_e, e] element instead of 1.0 — no
+                # separate (d, gb*128) multiply over the messages and
+                # no bool->dtype cast.  f32 only: the i1 of a 32-bit
+                # compare cannot relayout to a 16-bit select's tiling
+                # (Mosaic "Invalid relayout"), so the bf16 path keeps
+                # the classic cast+mul below.
+                m = jnp.where(
+                    eq, jnp.broadcast_to(v, (TILE_DST_G, gb * SUB)),
+                    jnp.zeros((), dtype))
+            else:
+                m = eq.astype(dtype)
+                msgs = msgs * jnp.broadcast_to(
+                    v, (d, gb * SUB)).astype(msgs.dtype)
             out_ref[:] += jax.lax.dot_general(
-                msgs.astype(dtype), m.astype(dtype),
+                msgs.astype(dtype), m,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
 
@@ -190,15 +250,23 @@ def _spmm_gather_kernel(meta_ref, trans_sb_ref, dst_tile_ref, first_ref,
 def _spmm_gather_raw(g: GroupedCoo, x: jnp.ndarray,
                      dtype=jnp.bfloat16,
                      group_batch: int | None = None,
-                     packed: bool | None = None) -> jnp.ndarray:
+                     packed: bool | None = None,
+                     mask16: bool | None = None) -> jnp.ndarray:
     gb = GROUP_BATCH if group_batch is None else group_batch
     if GROUPS_PER_CHUNK % gb:
         raise ValueError(f"group_batch {gb} must divide {GROUPS_PER_CHUNK}")
     d = x.shape[1]
-    span = g.span
+    span, window = g.span, g.window
     if packed is None:
         packed = PACK_PANELS and jnp.dtype(dtype) == jnp.bfloat16
     packed = packed and d % 2 == 0
+    if mask16 is None:
+        mask16 = MASK16
+    # The split-compare mask requires every select/compare operand in
+    # 16-bit tiling — bf16 scatter dtype only (f32 callers keep the
+    # int32 compare; TILE_DST_G row ids must split exactly in bf16).
+    mask16 = (mask16 and jnp.dtype(dtype) == jnp.bfloat16
+              and TILE_DST_G <= 512)
     x_pad = x if x.shape[0] == g.n_src_pad else jnp.pad(
         x, ((0, g.n_src_pad - x.shape[0]), (0, 0)))
     # Panels stay 32-bit: tpu.dynamic_gather requires the data bitwidth
@@ -210,35 +278,42 @@ def _spmm_gather_raw(g: GroupedCoo, x: jnp.ndarray,
         half = jax.lax.bitcast_convert_type(
             xt.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
         xt = (half[: d // 2] << 16) | half[d // 2:]   # (d/2, n) u32
+    panel_rows = d // 2 if packed else d
+    panel_dtype = jnp.uint32 if packed else jnp.float32
+    # (n_subtiles, pr, SUB): sub-tile-major so the kernel can index a
+    # (pr, SUB) gather block with a DYNAMIC leading index (the group's
+    # p0) and panel DMAs are contiguous span-slab copies.
+    xt3 = xt.reshape(panel_rows, g.n_src_pad // SUB, SUB).transpose(
+        1, 0, 2)
 
     edge_spec = pl.BlockSpec((1, GROUPS_PER_CHUNK, SUB),
                              lambda i, *_: (i, 0, 0),
                              memory_space=pltpu.VMEM)
-    panel_rows = d // 2 if packed else d
-    panel_dtype = jnp.uint32 if packed else jnp.float32
     out_t = pl.pallas_call(
         functools.partial(_spmm_gather_kernel, dtype=dtype,
-                          group_batch=gb, packed=packed, span=span),
+                          group_batch=gb, packed=packed, span=span,
+                          window=window, mask16=mask16),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,    # meta, trans_sb, dst_tile, first
             grid=(g.n_chunks,),
             in_specs=[
                 edge_spec, edge_spec, edge_spec,
-                pl.BlockSpec(memory_space=pl.ANY),     # xT stays in HBM
+                pl.BlockSpec(memory_space=pl.ANY),     # xT3 stays in HBM
             ],
             out_specs=pl.BlockSpec(
                 (d, TILE_DST_G),
                 lambda i, meta, tsb, dt, first: (0, dt[i]),
                 memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((NSLOTS, panel_rows, span * SUB), panel_dtype),
+                pltpu.VMEM((NSLOTS, span, panel_rows, SUB), panel_dtype),
                 pltpu.SemaphoreType.DMA((NSLOTS,)),
+                pltpu.VMEM((1, TILE_DST_G, gb * SUB), jnp.int32),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((d, g.n_dst_pad), jnp.float32),
         interpret=INTERPRET,
     )(g.g_meta, g.trans_sb, g.dst_tile, g.first_of_dst,
-      g.src_local, g.dst_local, g.val, xt)
+      g.src_local, g.dst_local, g.val, xt3)
     return out_t.T[: g.n_dst]
 
 

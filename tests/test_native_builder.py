@@ -60,13 +60,16 @@ def test_native_matches_numpy(rng, n_dst, n_src, n_edges):
 
 @pytest.mark.skipif(not native.grouped_available(),
                     reason="native grouped builder not built")
+@pytest.mark.parametrize("span,window", [(16, None), (8, 2), (2, None)])
 @pytest.mark.parametrize("n_dst,n_src,n_edges", [(600, 700, 3000),
                                                  (1200, 300, 500),
                                                  (100, 90, 50),
                                                  (2000, 2000, 40000)])
-def test_native_grouped_bit_matches_numpy(rng, n_dst, n_src, n_edges):
+def test_native_grouped_bit_matches_numpy(rng, n_dst, n_src, n_edges,
+                                          span, window):
     """The C++ grouped builder reproduces the NumPy layout EXACTLY
-    (same stable sort, same group/chunk assembly, same edge ids)."""
+    (same stable sort, same group/window/chunk assembly, same packed
+    meta, same edge ids)."""
     from dream_gnn_tpu.graph.grouped import grouped_from_arrays
 
     src = rng.integers(0, n_src, n_edges).astype(np.int32)
@@ -75,10 +78,10 @@ def test_native_grouped_bit_matches_numpy(rng, n_dst, n_src, n_edges):
     # include padding zeros
     val[:: 17] = 0.0
 
-    g_n = grouped_from_arrays(src, dst, val, n_src, n_dst,
-                              use_native=True)
-    g_p = grouped_from_arrays(src, dst, val, n_src, n_dst,
-                              use_native=False)
+    g_n = grouped_from_arrays(src, dst, val, n_src, n_dst, span=span,
+                              window=window, use_native=True)
+    g_p = grouped_from_arrays(src, dst, val, n_src, n_dst, span=span,
+                              window=window, use_native=False)
     for field in ("src_local", "dst_local", "val", "edge_id", "g_meta",
                   "trans_sb", "dst_tile", "first_of_dst"):
         np.testing.assert_array_equal(

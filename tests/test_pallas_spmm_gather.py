@@ -25,20 +25,27 @@ def _rand_edges(rng, n_dst, n_src, n_edges):
     return src, dst, val
 
 
-@pytest.mark.parametrize("span", [1, 2, 8])
+@pytest.mark.parametrize("span,window", [
+    (1, None),               # window clamps to span
+    (2, None),
+    (8, 2),                  # narrow window forces window-overflow cuts
+    (16, None),              # production default (window=3)
+    (16, 16),                # full-span window (p0 always 0)
+])
 @pytest.mark.parametrize("n_dst,n_src,n_edges", [
     (600, 700, 3000),        # multi-tile
     (100, 90, 200),          # single tile
     (1200, 300, 400),        # empty dst tiles
 ])
-def test_gather_matches_dense(rng, n_dst, n_src, n_edges, span):
+def test_gather_matches_dense(rng, n_dst, n_src, n_edges, span, window):
     src, dst, val = _rand_edges(rng, n_dst, n_src, n_edges)
     a = np.zeros((n_dst, n_src), np.float32)
     np.add.at(a, (dst, src), val)
     x = rng.normal(size=(n_src, 128)).astype(np.float32)
     expected = a @ x
 
-    g = grouped_from_arrays(src, dst, val, n_src, n_dst, span=span)
+    g = grouped_from_arrays(src, dst, val, n_src, n_dst, span=span,
+                            window=window)
     out = np.asarray(psg._spmm_gather_raw(g, jnp.asarray(x),
                                           dtype=jnp.float32))
     np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-4)
@@ -190,8 +197,11 @@ def test_grouped_train_step_with_augmentation(rng):
     raw = synthetic_raw_data(n_drug=30, n_dis=22, n_pos=60, seed=5)
     dataset = DreamDataset(raw, k=3)
     cfg = TrainConfig()
+    # 1 layer: smoke-shaped — augment/optimizer plumbing over the
+    # grouped layout; multi-layer numerics are pinned by
+    # test_grouped_enc_graph_forward.
     model_cfg = dc.replace(derive_model_cfg(cfg, dataset),
-                           layers=2, gcn_agg_units=48, gcn_out_units=16,
+                           layers=1, gcn_agg_units=48, gcn_out_units=16,
                            nhid1=24, nhid2=16)
     inputs, _, labels, _ = fold_inputs(dataset, 0)
     split = dataset.splits[0]
