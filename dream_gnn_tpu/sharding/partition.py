@@ -25,7 +25,7 @@ from dream_gnn_tpu.graph.knn import NormAdj
 from dream_gnn_tpu.model.dream_gnn import ModelInputs, init_params
 from dream_gnn_tpu.sharding.foldstack import StackedFolds
 from dream_gnn_tpu.train.optim import make_optimizer
-from dream_gnn_tpu.train.step import TrainState, make_one_step
+from dream_gnn_tpu.train.step import TrainState
 
 
 def stacked_input_sharding(mesh: Mesh) -> ModelInputs:
@@ -75,15 +75,18 @@ def make_multichip_train_step(mesh: Mesh, model_cfg: ModelConfig,
     ``init_stacked_state(key, n_folds)`` builds per-fold params/opt
     state (folds are independent runs) sharded over the mesh;
     ``step(state, stacked)`` advances every fold by one iteration.
-    """
-    if model_cfg.decoder_backend != "xla":
-        # The fused Pallas decoders have no SPMD partitioning rules; the
-        # mesh-sharded path always uses the XLA lowerings.
-        import dataclasses
 
-        model_cfg = dataclasses.replace(model_cfg, decoder_backend="xla")
+    Single-step convenience wrapper over the interval runner's
+    fold-batched step (train/stacked.py): with
+    ``decoder_backend='pallas'`` the fused decoders run under their
+    shard_map SPMD rules on the mesh — nothing is silently downgraded
+    to the XLA lowerings.  For whole eval intervals use
+    ``make_multichip_train_fns`` (one dispatch per interval).
+    """
+    from dream_gnn_tpu.train.stacked import make_one_step_stacked
+
     tx = make_optimizer(train_cfg.train_grad_clip, train_cfg.weight_decay)
-    one_step = make_one_step(model_cfg, train_cfg, tx)
+    one_step = make_one_step_stacked(model_cfg, train_cfg, tx, mesh=mesh)
 
     def init_stacked_state(key, n_folds: int) -> TrainState:
         p_keys, s_keys = jax.random.split(key)
@@ -98,9 +101,8 @@ def make_multichip_train_step(mesh: Mesh, model_cfg: ModelConfig,
 
     @jax.jit
     def step(state: TrainState, stacked: StackedFolds):
-        new_state, losses = jax.vmap(one_step)(
-            state, stacked.inputs, stacked.labels, stacked.edge_weight)
-        return new_state, losses
+        return one_step(state, stacked.inputs, stacked.labels,
+                        stacked.edge_weight)
 
     return init_stacked_state, step
 

@@ -122,7 +122,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "identical to an uninterrupted run")
     p.add_argument("--fold_parallel", action="store_true",
                    help="train all CV folds of a seed simultaneously as "
-                        "one vmapped batch (uses the XLA decoder)")
+                        "one fold-batched compiled step (the fused "
+                        "Pallas decoders run in their fold-batched "
+                        "variants; see train/stacked.py)")
+    p.add_argument("--seed_parallel", action="store_true",
+                   help="batch ALL seeds x folds of the protocol into "
+                        "one stacked compiled step (implies "
+                        "--fold_parallel; train/stacked.py:"
+                        "train_stacked_protocol)")
     return p
 
 
@@ -184,7 +191,8 @@ def main(argv=None):
     dataset = resolve_dataset(args, cfg)
     return run_experiments(dataset, cfg, seeds=args.seeds, folds=args.folds,
                            profile_dir=args.profile_dir,
-                           fold_parallel=args.fold_parallel)
+                           fold_parallel=args.fold_parallel,
+                           seed_parallel=args.seed_parallel)
 
 
 if __name__ == "__main__":
