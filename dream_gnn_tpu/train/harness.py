@@ -26,7 +26,8 @@ def run_experiments(dataset: DreamDataset, cfg: TrainConfig, *,
                     folds: Optional[Sequence[int]] = None,
                     verbose: bool = True,
                     profile_dir: Optional[str] = None,
-                    fold_parallel: bool = False):
+                    fold_parallel: bool = False,
+                    seed_parallel: bool = False):
     """Run the full protocol; returns the summary dict.
 
     ``profile_dir``: write a jax.profiler trace of the first fold.
@@ -34,9 +35,41 @@ def run_experiments(dataset: DreamDataset, cfg: TrainConfig, *,
     vmapped batch on one chip (train/stacked.py) — the reference runs
     folds sequentially (train.py:500); at reference dataset scale the
     batched step costs barely more than a single-fold step.
+    ``seed_parallel``: additionally batch ALL seeds into the same
+    stacked step (S x F items, train/stacked.py:train_stacked_protocol)
+    — one compiled protocol run; per-seed artifacts are identical.
     """
     seeds = list(seeds if seeds is not None else cfg.seeds)
     folds = list(folds if folds is not None else range(cfg.n_folds))
+
+    if seed_parallel:
+        from dream_gnn_tpu.train.stacked import train_stacked_protocol
+        from dream_gnn_tpu.utils.profiling import trace
+
+        seed_dirs = [os.path.join(cfg.save_dir, f"seed_{seed}")
+                     for seed in seeds]
+        seed_keys = [jax.random.key(seed, impl=cfg.rng_impl)
+                     for seed in seeds]
+        with trace(profile_dir):
+            per_seed, _ = train_stacked_protocol(
+                dataset, cfg, seed_keys, folds, save_dirs=seed_dirs,
+                verbose=verbose)
+        all_results = []
+        for seed, exp_dir, results in zip(seeds, seed_dirs, per_seed):
+            fold_results = [(r["best_auroc"], r["best_aupr"])
+                            for r in results]
+            avg_auroc = float(np.mean([r[0] for r in fold_results]))
+            avg_aupr = float(np.mean([r[1] for r in fold_results]))
+            with open(os.path.join(exp_dir,
+                                   "experiment_results.csv"), "w") as f:
+                f.write("fold,auroc,aupr\n")
+                for i, (a, p) in enumerate(fold_results):
+                    f.write(f"{i + 1},{a:.4f},{p:.4f}\n")
+                f.write(f"average,{avg_auroc:.4f},{avg_aupr:.4f}\n")
+            all_results.append(dict(seed=seed, avg_auroc=avg_auroc,
+                                    avg_aupr=avg_aupr,
+                                    fold_results=fold_results))
+        return _summarize(cfg, seeds, all_results, verbose)
 
     all_results = []
     train_fns = None
@@ -124,6 +157,10 @@ def run_experiments(dataset: DreamDataset, cfg: TrainConfig, *,
             print(f"Experiment {exp_idx + 1} (Seed {seed}) - "
                   f"Avg AUROC: {avg_auroc:.4f}, Avg AUPR: {avg_aupr:.4f}")
 
+    return _summarize(cfg, seeds, all_results, verbose)
+
+
+def _summarize(cfg: TrainConfig, seeds, all_results, verbose: bool):
     aurocs = [r["avg_auroc"] for r in all_results]
     auprs = [r["avg_aupr"] for r in all_results]
     summary = dict(

@@ -182,15 +182,43 @@ def train_seed_foldparallel(
         resume: Optional[bool] = None):
     """Train every fold of one seed simultaneously; returns a list of
     per-fold result dicts (same contract as loop.train_fold) plus the
-    reusable compiled fns.
+    reusable compiled fns.  Thin wrapper over
+    :func:`train_stacked_protocol` with a single seed.
+    """
+    results, train_fns = train_stacked_protocol(
+        dataset, cfg, [seed_key], folds, save_dirs=[save_dir],
+        verbose=verbose, train_fns=train_fns, model_cfg=model_cfg,
+        resume=resume)
+    return results[0], train_fns
+
+
+def train_stacked_protocol(
+        dataset: DreamDataset, cfg: TrainConfig,
+        seed_keys: Sequence[jax.Array], folds: Sequence[int], *,
+        save_dirs: Optional[Sequence[Optional[str]]] = None,
+        verbose: bool = True, train_fns=None, model_cfg=None,
+        resume: Optional[bool] = None):
+    """Train S seeds x F folds simultaneously as ONE (S*F)-way stacked
+    batch; returns (per-seed lists of per-fold result dicts, fns).
+
+    Seed-parallel stacking (no reference counterpart — the reference
+    runs seeds AND folds strictly sequentially, train.py:471,500): the
+    fold-batched step's matmuls are still far below the MXU tile budget
+    at reference dataset scale, so stacking every (seed, fold) pair of
+    the whole protocol into one compiled step raises per-chip
+    throughput again at near-constant step time (measured in
+    BASELINE.md).  Folds of every seed share the same stacked graph
+    data — only the PRNG keys differ — so the data cost is tiling the
+    F-fold stack S times.
 
     Artifact contract matches the sequential path: per-fold
-    ``test_metric{i}.csv`` / ``best_metric{i}.csv`` under ``save_dir``.
+    ``test_metric{i}.csv`` / ``best_metric{i}.csv`` under each seed's
+    ``save_dirs[s]``.
 
     Failure recovery: with ``cfg.checkpoint_every`` the whole stacked
-    state (all folds' params/optimizer/PRNG/lr — ONE pytree) plus the
-    per-fold plateau schedulers and best-by-AUPR bookkeeping is written
-    atomically to ``{save_dir}/ckpt_stacked.npz``; with ``resume``
+    state (all items' params/optimizer/PRNG/lr — ONE pytree) plus the
+    per-item plateau schedulers and best-by-AUPR bookkeeping is written
+    atomically to ``{save_dirs[0]}/ckpt_stacked.npz``; with ``resume``
     (default ``cfg.resume``) a preempted run restarts from it with an
     identical stream, and CSV rows past the checkpoint are dropped so
     the resumed artifacts match an uninterrupted run byte for byte
@@ -206,18 +234,33 @@ def train_seed_foldparallel(
     init_state, run_steps, run_interval = train_fns
 
     folds = list(folds)
-    n_folds = len(folds)
-    train_stacked = stack_folds(dataset, folds, side="train")
-    test_stacked = stack_folds(dataset, folds, side="test")
-    fold_keys = jnp.stack([jax.random.fold_in(seed_key, cv)
-                           for cv in folds])
+    seed_keys = list(seed_keys)
+    n_seeds = len(seed_keys)
+    if save_dirs is None:
+        save_dirs = [None] * n_seeds
+    # Item axis = (seed-major, fold-minor); per-item key threading is
+    # exactly the sequential harness's fold_in(seed_key, cv).
+    items = [(si, cv) for si in range(n_seeds) for cv in folds]
+    n_folds = len(items)
+    save_dir = save_dirs[0]
+
+    def _tile(stacked: StackedFolds) -> StackedFolds:
+        if n_seeds == 1:
+            return stacked
+        return jax.tree.map(
+            lambda a: jnp.concatenate([a] * n_seeds, axis=0), stacked)
+
+    train_stacked = _tile(stack_folds(dataset, folds, side="train"))
+    test_stacked = _tile(stack_folds(dataset, folds, side="test"))
+    fold_keys = jnp.stack([jax.random.fold_in(seed_keys[si], cv)
+                           for si, cv in items])
     state = init_state(fold_keys)
 
     plateaus = [PlateauScheduler(cfg.train_lr, patience=cfg.plateau_patience,
                                  factor=cfg.plateau_factor)
-                for _ in folds]
+                for _ in items]
     best = [dict(aupr=-1.0, auroc=0.0, iter=0, train_aupr=0.0,
-                 train_auroc=0.0) for _ in folds]
+                 train_auroc=0.0) for _ in items]
     best_params = [None] * n_folds
 
     resume = cfg.resume if resume is None else resume
@@ -245,14 +288,17 @@ def train_seed_foldparallel(
 
     loggers = [None] * n_folds
     if save_dir:
-        os.makedirs(save_dir, exist_ok=True)
+        for d in save_dirs:
+            if d:
+                os.makedirs(d, exist_ok=True)
         loggers = [MetricLogger(
             ["iter", "loss", "train_auroc", "train_aupr",
              "test_auroc", "test_aupr"],
             ["%d", "%.4f", "%.4f", "%.4f", "%.4f", "%.4f"],
-            os.path.join(save_dir, f"test_metric{cv + 1}.csv"),
+            os.path.join(save_dirs[si], f"test_metric{cv + 1}.csv"),
             resume_iter=start_iter if start_iter else None)
-            for cv in folds]
+            if save_dirs[si] else None
+            for si, cv in items]
 
     total_iters = cfg.train_max_iter - 1       # range(1, max_iter)
     done = start_iter
@@ -330,8 +376,10 @@ def train_seed_foldparallel(
     if save_dir:
         from dream_gnn_tpu.train.checkpoint import save_pytree
 
-        for i, cv in enumerate(folds):
-            with open(os.path.join(save_dir,
+        for i, (si, cv) in enumerate(items):
+            if not save_dirs[si]:
+                continue
+            with open(os.path.join(save_dirs[si],
                                    f"best_metric{cv + 1}.csv"), "w") as f:
                 f.write("iter,train_auroc,train_aupr,test_auroc,"
                         "test_aupr\n")
@@ -340,16 +388,20 @@ def train_seed_foldparallel(
                         f"{best[i]['auroc']:.4f},{best[i]['aupr']:.4f}\n")
             if cfg.save_model and best_params[i] is not None:
                 save_pytree(os.path.join(
-                    save_dir, f"best_model_fold{cv + 1}.npz"),
+                    save_dirs[si], f"best_model_fold{cv + 1}.npz"),
                     best_params[i])
 
     ms_per_step = (1e3 * time_in_steps / steps_timed) if steps_timed else None
     if verbose and ms_per_step is not None:
-        print(f"Seed timing: {ms_per_step:.2f} ms/step "
-              f"({n_folds} folds batched), {elapsed:.1f} s total")
+        print(f"Protocol timing: {ms_per_step:.2f} ms/step "
+              f"({n_seeds} seeds x {len(folds)} folds batched), "
+              f"{elapsed:.1f} s total")
 
-    return [dict(best_auroc=best[i]["auroc"], best_aupr=best[i]["aupr"],
-                 best_iter=best[i]["iter"], elapsed_s=elapsed,
-                 best_params=best_params[i], model_cfg=model_cfg,
-                 ms_per_step=ms_per_step)
-            for i in range(n_folds)], train_fns
+    results = [dict(best_auroc=best[i]["auroc"], best_aupr=best[i]["aupr"],
+                    best_iter=best[i]["iter"], elapsed_s=elapsed,
+                    best_params=best_params[i], model_cfg=model_cfg,
+                    ms_per_step=ms_per_step)
+               for i in range(n_folds)]
+    nf = len(folds)
+    return [results[si * nf:(si + 1) * nf]
+            for si in range(n_seeds)], train_fns

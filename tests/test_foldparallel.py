@@ -123,3 +123,41 @@ def test_stacked_pallas_backend(setup):
         pd.INTERPRET = old
     assert metrics.shape == (2, 5)
     assert np.isfinite(metrics).all()
+
+
+def test_seed_parallel_matches_per_seed(setup, tmp_path):
+    """Seed-parallel stacking (S x F items in one compiled batch,
+    train_stacked_protocol) reproduces per-seed fold-parallel runs
+    sample-for-sample under threefry, artifacts included."""
+    from dream_gnn_tpu.train.stacked import train_stacked_protocol
+
+    dataset, cfg, model_cfg = setup
+    folds = [0, 1]
+    keys = [jax.random.key(s, impl=cfg.rng_impl) for s in (7, 8)]
+
+    sp_dirs = [str(tmp_path / f"sp_seed{s}") for s in (7, 8)]
+    per_seed, _ = train_stacked_protocol(
+        dataset, cfg, keys, folds, save_dirs=sp_dirs, verbose=False,
+        model_cfg=model_cfg)
+    assert len(per_seed) == 2 and len(per_seed[0]) == 2
+
+    for key, sp_res, sp_dir, s in zip(keys, per_seed, sp_dirs, (7, 8)):
+        ref_dir = str(tmp_path / f"ref_seed{s}")
+        ref_res, _ = train_seed_foldparallel(
+            dataset, cfg, key, folds, save_dir=ref_dir, verbose=False,
+            model_cfg=model_cfg)
+        for a, b in zip(sp_res, ref_res):
+            assert a["best_aupr"] == pytest.approx(b["best_aupr"],
+                                                   rel=1e-4)
+            assert a["best_auroc"] == pytest.approx(b["best_auroc"],
+                                                    rel=1e-4)
+        for cv in folds:
+            fa = os.path.join(sp_dir, f"test_metric{cv + 1}.csv")
+            fb = os.path.join(ref_dir, f"test_metric{cv + 1}.csv")
+            ra = open(fa).read().splitlines()
+            rb = open(fb).read().splitlines()
+            assert ra[0] == rb[0]
+            for la, lb in zip(ra[1:], rb[1:]):
+                va = np.asarray([float(x) for x in la.split(",")])
+                vb = np.asarray([float(x) for x in lb.split(",")])
+                np.testing.assert_allclose(va, vb, rtol=2e-3, atol=2e-3)
