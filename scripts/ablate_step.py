@@ -7,6 +7,8 @@ compiled scan with threaded state — the same harness bench.py uses.
 
 import _bootstrap  # noqa: F401  (repo root on sys.path)
 
+_bootstrap.setup_jax_cache()
+
 import dataclasses
 import sys
 import time

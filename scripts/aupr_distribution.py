@@ -10,6 +10,8 @@ BASELINE.md.
 
 import _bootstrap  # noqa: F401  (repo root on sys.path)
 
+_bootstrap.setup_jax_cache()
+
 import sys
 
 from dream_gnn_tpu.eval.aupr_gate import write_distribution

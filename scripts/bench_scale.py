@@ -10,6 +10,8 @@ not a perf number).
 
 import _bootstrap  # noqa: F401  (repo root on sys.path)
 
+_bootstrap.setup_jax_cache()
+
 import dataclasses
 import sys
 import time

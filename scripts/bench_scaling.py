@@ -12,6 +12,8 @@ perf numbers).
 
 import _bootstrap  # noqa: F401  (repo root on sys.path)
 
+_bootstrap.setup_jax_cache()
+
 import sys
 import time
 

@@ -7,6 +7,8 @@ _dropout_mask): with the bug, train-mode output magnitudes collapse
 
 import _bootstrap  # noqa: F401  (repo root on sys.path)
 
+_bootstrap.setup_jax_cache()
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -2,6 +2,8 @@
 
 import _bootstrap  # noqa: F401  (repo root on sys.path)
 
+_bootstrap.setup_jax_cache()
+
 import dataclasses
 import sys
 import time

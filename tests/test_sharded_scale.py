@@ -142,7 +142,12 @@ def test_sharded_grouped_forward_matches_coo(setup):
 
 def test_sharded_grouped_train_step_with_augmentation(setup):
     """Full augmented train step (PRF edge dropout) on the
-    sharded-grouped layout: finite loss, params move."""
+    sharded-grouped layout: finite loss, params move.
+
+    Smoke-shaped on purpose: 2 shards + 1 GCMC layer keep the
+    interpret-kernel compile surface small (the 4-shard/3-layer step
+    was the suite's slowest test at ~2 min; numerics parity is pinned
+    by test_sharded_grouped_forward_matches_coo at full shape)."""
     import dream_gnn_tpu.kernels.pallas_spmm_gather as psg
 
     from dream_gnn_tpu.sharding.scale_graph import \
@@ -151,7 +156,9 @@ def test_sharded_grouped_train_step_with_augmentation(setup):
     from dream_gnn_tpu.train.step import TrainState, make_one_step
 
     dataset, model_cfg, params, _ = setup
-    mesh = _grouped_mesh()
+    model_cfg = dataclasses.replace(model_cfg, layers=1)
+    params = init_params(jax.random.key(0), model_cfg)
+    mesh = make_mesh(dp=2, mp=1, devices=jax.devices()[:2])
     cfg = TrainConfig()
     inputs, _, labels, _ = fold_inputs(dataset, 0)
     split = dataset.splits[0]
