@@ -1,0 +1,117 @@
+"""Automated AUPR regression gate (VERDICT r2 #6).
+
+Runs a SHORT protocol — 1 seed x 10 folds, 2001 iterations,
+fold-parallel, production execution config (fused grid decoder, bf16)
+on the Gdataset synthetic preset — and fails (exit 1) when
+``eval/aupr_gate.gate()`` rejects the per-fold test-AUPR distribution
+against the stored short-protocol band.  A decoder/augmentation
+semantics regression now fails a machine check instead of waiting for
+a human to eyeball CSVs.
+
+Modes:
+  python scripts/aupr_gate_check.py              # gate (default)
+  python scripts/aupr_gate_check.py --make-band  # regenerate the band
+                                                 # (5 seeds x 10 folds)
+
+The band lives in ``results/gate_short_protocol/aupr_distribution.json``
+and is specific to THIS short protocol (its distribution differs from
+the full 18k-iteration runs recorded in results/*_v2).  Regenerate it
+only after an intentional semantics change, with the change documented
+in BASELINE.md.
+
+Wired into scripts/run_all_tests.sh (TPU images; ~3 min warm).  The
+reference has no regression gating of any kind (train.py:522-556 is
+eyeballed CSVs).
+"""
+
+import _bootstrap  # noqa: F401  (repo root on sys.path)
+
+_bootstrap.setup_jax_cache()
+
+import faulthandler
+import json
+import os
+import signal
+import sys
+import tempfile
+
+faulthandler.dump_traceback_later(900, repeat=True)
+signal.alarm(1800)
+
+import numpy as np
+
+BAND_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "results", "gate_short_protocol")
+BAND_PATH = os.path.join(BAND_DIR, "aupr_distribution.json")
+BAND_SEEDS = [77, 31415, 888, 1001, 9999]
+GATE_SEED = 77
+SHORT_ITERS = 2001
+
+
+def _short_cfg(save_dir: str):
+    import dataclasses
+
+    from dream_gnn_tpu.config import ModelConfig, TrainConfig
+
+    model = ModelConfig(decoder_backend="pallas", decode_mode="grid",
+                        compute_dtype="bfloat16")
+    return TrainConfig(data_name="Gdataset", model=model,
+                       train_max_iter=SHORT_ITERS,
+                       train_valid_interval=250,
+                       save_dir=save_dir, save_model=False,
+                       generate_top_predictions=False)
+
+
+def _run_protocol(seeds, save_dir: str):
+    from dream_gnn_tpu.data.loader import DreamDataset
+    from dream_gnn_tpu.train.harness import run_experiments
+
+    cfg = _short_cfg(save_dir)
+    dataset = DreamDataset.load(cfg.data_name, k=cfg.num_neighbor)
+    run_experiments(dataset, cfg, seeds=seeds, verbose=True,
+                    fold_parallel=True)
+
+
+def main() -> int:
+    from dream_gnn_tpu.eval.aupr_gate import (collect_fold_auprs,
+                                              distribution_summary, gate)
+
+    if "--make-band" in sys.argv:
+        os.makedirs(BAND_DIR, exist_ok=True)
+        _run_protocol(BAND_SEEDS, BAND_DIR)
+        auprs = collect_fold_auprs(BAND_DIR)
+        summary = distribution_summary(auprs)
+        summary["protocol"] = {
+            "data_name": "Gdataset", "iters": SHORT_ITERS,
+            "seeds": BAND_SEEDS, "folds": 10,
+            "exec": "fold_parallel grid-decoder bf16"}
+        with open(BAND_PATH, "w") as f:
+            json.dump(summary, f, indent=2)
+        print(f"band written: {BAND_PATH} (n={summary['n']}, "
+              f"mean={summary['mean']:.4f})")
+        return 0
+
+    if not os.path.exists(BAND_PATH):
+        print(f"AUPR_GATE_SKIP: no stored band at {BAND_PATH} "
+              f"(run --make-band on a known-good checkout first)")
+        return 0
+    with open(BAND_PATH) as f:
+        ref = json.load(f)
+
+    with tempfile.TemporaryDirectory(prefix="aupr_gate_") as tmp:
+        _run_protocol([GATE_SEED], tmp)
+        observed = collect_fold_auprs(tmp)
+
+    ok, report = gate(observed, ref)
+    print(json.dumps(report, indent=2))
+    if ok:
+        print(f"AUPR_GATE_OK n={report['n']} "
+              f"mean={float(np.mean(observed)):.4f}")
+        return 0
+    print("AUPR_GATE_FAIL: per-fold AUPR distribution regressed vs "
+          f"{BAND_PATH} — see report above")
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,34 +1,47 @@
 """A/B the grouped-gather SpMM kernel variants on the TPU.
 
-Sweeps the layout's superblock ``span`` (sub-tiles addressable per
-group, the slot-occupancy lever) and ``group_batch`` (groups fused per
-scatter matmul) on the 10M-edge scale config, and prints the roofline
+Sweeps the layout's superblock ``span`` (panel size / occupancy
+lever), gather ``window`` (shuffles per group — the dominant VPU
+cost), ``group_batch`` (groups fused per scatter matmul) and the
+16-bit mask build on the 10M-edge scale config, printing the roofline
 attribution for each point: slot occupancy, scatter-MAC count, panel
 DMA bytes and the achieved HBM bandwidth / MXU utilisation they imply.
 Run after kernel changes to pick the production defaults in
-kernels/pallas_spmm_gather.py (GROUP_BATCH / PACK_PANELS) and
-graph/grouped.py (SPAN).
+kernels/pallas_spmm_gather.py (GROUP_BATCH / PACK_PANELS / MASK16) and
+graph/grouped.py (SPAN / WINDOW).
+
+All timings use utils/timing.chained_ms — amortised chained dispatch
+with host readback and a physical-floor guard (the round-2
+``block_until_ready`` timing printed sub-floor garbage through the
+relay; a reading below the layout's HBM/MXU floor now raises instead
+of being reported).
 """
 
 import _bootstrap  # noqa: F401  (repo root on sys.path)
 
+_bootstrap.setup_jax_cache()
+
 import faulthandler
 import signal
 import sys
-import time
 
 # Self-watchdog: the remote-TPU tunnel occasionally wedges; a SIGALRM
 # exit tears the process down cleanly (device claim released) where an
 # external SIGKILL leaves the chip claimed for ~20 min.
-faulthandler.dump_traceback_later(600, repeat=True)
-signal.alarm(1500)
+faulthandler.dump_traceback_later(900, repeat=True)
+signal.alarm(2400)
+
+import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dream_gnn_tpu.graph.grouped import (SUB, TILE_DST_G,
+from dream_gnn_tpu.graph.grouped import (LEAD, SUB, TILE_DST_G,
                                          grouped_pair_from_arrays)
+from dream_gnn_tpu.utils.timing import (HBM_BYTES_PER_S, MXU_MACS_PER_S,
+                                        ImplausibleTiming, chained_ms,
+                                        spmm_gather_floor_ms)
 import dream_gnn_tpu.kernels.pallas_spmm_gather as psg
 
 small = "--small" in sys.argv
@@ -44,73 +57,79 @@ val = rng.random(n_edges).astype(np.float32) + 0.5
 x = jnp.asarray(rng.normal(size=(n_src, d)).astype(np.float32))
 
 
-def timed(name, fn, pair, extra="", steps=8):
-    # Every timed call gets a DISTINCT input buffer: identical-arg
-    # repeats through the axon relay are unreliable (results appear
-    # cached — one sweep variant "ran" in 0.01 ms).  Per-call dispatch
-    # overhead is <100us against >10ms kernels.
-    run = jax.jit(fn)
-    xs = [jax.block_until_ready(x * (1.0 + 1e-6 * i))
-          for i in range(steps + 1)]
-    run(xs[0], pair).block_until_ready()
-    best = np.inf
-    for i in range(1, steps + 1):
-        t0 = time.perf_counter()
-        run(xs[i], pair).block_until_ready()
-        best = min(best, time.perf_counter() - t0)
-    ms = best * 1e3
-    print(f"{name:28s} {ms:8.2f} ms  ({n_edges / ms * 1e3:.3e} edges/s)"
-          f"  {extra}", flush=True)
-    return ms
-
-
-def roofline(g, ms):
-    """Attribution: scatter MACs and panel bytes the layout implies."""
+def roofline(g, ms, packed=True):
+    """Attribution: scatter MACs and panel bytes the layout implies.
+    Transition count excludes trans_sb's LEAD trailing pads; panel
+    bytes reflect the actual packed flag of the timed variant."""
     slots = g.val.size
     occ = n_edges / slots
     macs = slots * TILE_DST_G * d
-    n_trans = int(g.trans_sb.shape[0])
-    panel_bytes = n_trans * (d // 2) * g.span * SUB * 4   # packed bf16
+    n_trans = int(g.trans_sb.shape[0]) - LEAD
+    row_bytes = (d // 2 if packed else d) * 4
+    panel_bytes = n_trans * g.span * SUB * row_bytes
     return (f"occ={occ:.2f} scatterMACs={macs / 1e9:.0f}G "
-            f"(MXU>= {macs / 197e12 * 1e3:.1f}ms) "
+            f"(MXU>= {macs / MXU_MACS_PER_S * 1e3:.1f}ms) "
             f"panelDMA={panel_bytes / 1e9:.2f}GB "
-            f"(HBM>= {panel_bytes / 819e9 * 1e3:.1f}ms) "
+            f"(HBM>= {panel_bytes / HBM_BYTES_PER_S * 1e3:.1f}ms) "
             f"-> BW={panel_bytes / (ms * 1e-3) / 1e9:.0f}GB/s "
-            f"MXU={macs / (ms * 1e-3) / 197e12 * 100:.0f}%")
+            f"MXU={macs / (ms * 1e-3) / MXU_MACS_PER_S * 100:.0f}%")
 
 
 ref = None
 best = (np.inf, None)
-# span=1 at 10M edges overflows SMEM (one transition per group ->
-# trans_sb rivals g_meta); the round-1 span-1 numbers are in
-# BASELINE.md (34.2 / 65.9 ms).
-for span in (2, 4, 8, 16):
-    print(f"building grouped layout (span={span})...", flush=True)
+results = []
+for span, window in ((16, 3), (8, 8)):
+    print(f"building grouped layout (span={span} window={window})...",
+          flush=True)
     t0 = time.perf_counter()
-    pair = grouped_pair_from_arrays(src, dst, val, n_src, n_dst, span=span)
+    pair = grouped_pair_from_arrays(src, dst, val, n_src, n_dst,
+                                    span=span, window=window)
     print(f"  build {time.perf_counter() - t0:.1f}s, "
           f"chunks={pair.fwd.n_chunks}, occ={pair.fwd.occupancy:.3f}",
           flush=True)
-    for gb in ((16,) if span != 8 else (4, 8, 16)):
-        def fwd(x, gr, gb=gb):
-            return psg._spmm_gather_raw(gr.fwd, x, group_batch=gb)
+    floor = spmm_gather_floor_ms(pair.fwd, d, packed=True)
+    for gb, mask16 in (((16, False),)):
+        def fwd(x, gr, gb=gb, mask16=mask16):
+            return psg._spmm_gather_raw(gr.fwd, x, group_batch=gb,
+                                        mask16=mask16)
         out = jax.jit(fwd)(x, pair)
-        jax.block_until_ready(out)
         if ref is None:
-            ref = out
+            ref = jax.block_until_ready(out)
         else:
             rel = float(jnp.max(jnp.abs(out - ref)) /
                         (1e-6 + jnp.max(jnp.abs(ref))))
-            assert rel < 2e-2, (span, gb, rel)
-        ms = timed(f"fwd span={span:2d} gb={gb:2d}", fwd, pair)
+            assert rel < 2e-2, (span, window, gb, rel)
+        name = f"fwd s={span:2d} w={window} gb={gb:2d} m16={int(mask16)}"
+        try:
+            ms = chained_ms(fwd, x, args=(pair,), n=8, reps=3,
+                            floor_ms=floor, name=name)
+        except ImplausibleTiming as e:
+            print(f"{name:32s} REJECTED ({e})", flush=True)
+            continue
+        print(f"{name:32s} {ms:8.2f} ms "
+              f"({n_edges / ms * 1e3:.3e} edges/s)", flush=True)
         print("    " + roofline(pair.fwd, ms), flush=True)
+        results.append((name, ms))
         if ms < best[0]:
-            best = (ms, (span, gb))
+            best = (ms, (span, window, gb, mask16))
 
-for span in (4, 8):
-    pair = grouped_pair_from_arrays(src, dst, val, n_src, n_dst, span=span)
-    timed(f"fwd+bwd span={span}",
-          lambda x, gr: jax.grad(
-              lambda y: jnp.sum(psg.spmm_gather(gr, y) ** 2))(x), pair,
-          steps=6)
-print(f"\nbest fwd: span={best[1][0]} gb={best[1][1]}", flush=True)
+# fwd+bwd on the round-2 baseline shape plus the new default layout.
+for span, window in ((16, 3), (8, 8)):
+    pair = grouped_pair_from_arrays(src, dst, val, n_src, n_dst,
+                                    span=span, window=window)
+    floor2 = (spmm_gather_floor_ms(pair.fwd, d, packed=True)
+              + spmm_gather_floor_ms(pair.bwd, d, packed=True))
+
+    def fb(x, gr):
+        return jax.grad(
+            lambda y: jnp.sum(psg.spmm_gather(gr, y) ** 2))(x)
+    name = f"fwd+bwd s={span} w={window}"
+    ms = chained_ms(fb, x, args=(pair,), n=6, reps=3, floor_ms=floor2,
+                    name=name)
+    print(f"{name:32s} {ms:8.2f} ms "
+          f"({2 * n_edges / ms * 1e3:.3e} edges/s)", flush=True)
+    results.append((name, ms))
+
+print(f"\nbest fwd: span={best[1][0]} window={best[1][1]} "
+      f"gb={best[1][2]} mask16={best[1][3]}  ({best[0]:.2f} ms)",
+      flush=True)
