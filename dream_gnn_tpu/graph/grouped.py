@@ -83,6 +83,32 @@ def p0_bits_for(span: int) -> int:
     return (span - 1).bit_length()
 
 
+def auto_span_window(n_live: int, n_src: int, n_dst: int):
+    """Density-adaptive (span, window) for a layout.
+
+    Slot occupancy is set by the expected edge count of a
+    (TILE_DST_G x window*SUB) region: sparse graphs need wider windows
+    to fill 128-edge slots (at the 10M-edge scale config's rating-1
+    relation — 3M edges over 100k x 100k — the fixed window=3 default
+    filled slots to only 0.39, wasting 2.5x scatter MACs + mask
+    traffic; window=8/span=32 restores 0.92).  Pick the smallest
+    window whose expected region population is ~1.4 slots, then a
+    span >= 4*window so superblock-boundary cuts stay rare.  Dense
+    graphs keep the measured 10M-edge optimum (window 3, span 16);
+    span caps at 32 (NSLOTS panel ring VMEM) and window at 12 (VPU
+    shuffle cost grows linearly with window).
+    """
+    density = n_live / max(float(n_src) * float(n_dst), 1.0)
+    exp_per_subtile = density * TILE_DST_G * SUB
+    # Cap at 8: past that, GROUPS_PER_CHUNK chunk-slot padding (not
+    # window cuts) bounds occupancy (~0.85 measured at 3M/100k^2), so
+    # wider windows only add shuffles.
+    window = int(np.clip(np.ceil(180.0 / max(exp_per_subtile, 1e-12)),
+                         3, 8))
+    span = 16 if window <= 4 else 32
+    return span, window
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class GroupedCoo:
@@ -135,12 +161,18 @@ class GroupedCoo:
 
 
 def grouped_from_arrays(src, dst, val, n_src: int, n_dst: int,
-                        span: int = SPAN, window: int | None = None,
+                        span: int | None = None,
+                        window: int | None = None,
                         use_native: bool = True) -> GroupedCoo:
     src = np.asarray(src, np.int64)
     dst = np.asarray(dst, np.int64)
     val = np.asarray(val, np.float32)
-    window = min(WINDOW if window is None else window, span)
+    if span is None or window is None:
+        a_span, a_window = auto_span_window(
+            int((val != 0).sum()), n_src, n_dst)
+        span = a_span if span is None else span
+        window = a_window if window is None else window
+    window = min(window, span)
     p0b = p0_bits_for(span)
     shift = p0b + window
 
@@ -292,7 +324,7 @@ class GroupedCooPair:
 
 
 def grouped_pair_from_arrays(src, dst, val, n_src: int, n_dst: int,
-                             span: int = SPAN,
+                             span: int | None = None,
                              window: int | None = None) -> GroupedCooPair:
     return GroupedCooPair(
         fwd=grouped_from_arrays(src, dst, val, n_src, n_dst, span=span,

@@ -199,15 +199,22 @@ def _sharded_grouped_pairs(src, dst, val, n_src: int, n_dst: int,
     import dataclasses as _dc
 
     from dream_gnn_tpu.graph.grouped import (GroupedCooPair,
+                                             auto_span_window,
                                              grouped_pair_from_arrays)
 
     rps = -(-n_dst // n_shards)
+    # Resolve the density-adaptive layout geometry ONCE from the full
+    # relation: per-shard edge counts jitter, and stacked shards must
+    # share identical static (span, window) to tree-stack.
+    span, window = auto_span_window(int((val != 0).sum()) // n_shards,
+                                    n_src, rps)
     pairs = []
     base = 0
     for s in range(n_shards):
         m = (dst // rps) == s
         p = grouped_pair_from_arrays(src[m], dst[m] - s * rps, val[m],
-                                     n_src, rps)
+                                     n_src, rps, span=span,
+                                     window=window)
         n_local = int(m.sum())
         p = GroupedCooPair(
             fwd=_dc.replace(p.fwd, edge_id=p.fwd.edge_id + base),
@@ -236,10 +243,16 @@ def _sharded_grouped_pairs_ring(src, dst, val, n_src: int, n_dst: int,
     import dataclasses as _dc
 
     from dream_gnn_tpu.graph.grouped import (GroupedCooPair,
+                                             auto_span_window,
                                              grouped_pair_from_arrays)
 
     rps_dst = -(-n_dst // n_shards)
     rps_src = -(-n_src // n_shards)
+    # One (span, window) for every sub-block (stacking needs uniform
+    # statics); sub-block density equals the full relation's.
+    span, window = auto_span_window(
+        int((val != 0).sum()) // (n_shards * n_shards),
+        rps_src, rps_dst)
     grid = []
     base = 0
     for s in range(n_shards):
@@ -249,7 +262,7 @@ def _sharded_grouped_pairs_ring(src, dst, val, n_src: int, n_dst: int,
             m = ((dst // rps_dst) == s) & ((src // rps_src) == b)
             p = grouped_pair_from_arrays(
                 src[m] - b * rps_src, dst[m] - s * rps_dst, val[m],
-                rps_src, rps_dst)
+                rps_src, rps_dst, span=span, window=window)
             n_local = int(m.sum())
             p = GroupedCooPair(
                 fwd=_dc.replace(p.fwd, edge_id=p.fwd.edge_id + base),

@@ -105,25 +105,28 @@ def fwd_ms(model, n_cand=1_000_000, n=8):
 
     from dream_gnn_tpu.model.dream_gnn import forward
 
+    # inputs/params ride as jit ARGUMENTS — closed-over layouts become
+    # literal constants inside fori_loop and blow the remote-compile
+    # request limit (utils/timing.py docstring).
     @jax.jit
-    def chain(p, n_link):
+    def chain(p, inp, n_link):
         def body(_, s):
             pred, *_rest = forward(
-                jax.tree.map(lambda a: a + s * 1e-30, p), inputs, model,
+                jax.tree.map(lambda a: a + s * 1e-30, p), inp, model,
                 train=False)
             return pred.reshape(-1)[0].astype(jnp.float32)
         return jax.lax.fori_loop(0, n_link, body,
                                  jnp.zeros((), jnp.float32))
 
-    float(chain(params, 1))
-    float(chain(params, n))
+    float(chain(params, inputs, 1))
+    float(chain(params, inputs, n))
     t1 = tn = np.inf
     for _ in range(2):
         t0 = time.perf_counter()
-        float(chain(params, 1))
+        float(chain(params, inputs, 1))
         t1 = min(t1, time.perf_counter() - t0)
         t0 = time.perf_counter()
-        float(chain(params, n))
+        float(chain(params, inputs, n))
         tn = min(tn, time.perf_counter() - t0)
     return (tn - t1) / (n - 1) * 1e3
 

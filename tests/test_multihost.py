@@ -13,6 +13,8 @@ import subprocess
 import sys
 from pathlib import Path
 
+import pytest
+
 WORKER = Path(__file__).parent / "_multihost_worker.py"
 RING_WORKER = Path(__file__).parent / "_multihost_ring_worker.py"
 REPO = Path(__file__).parent.parent
@@ -54,13 +56,19 @@ def test_two_process_distributed_cpu():
             f"worker {pid} output:\n{out}"
 
 
+@pytest.mark.slow
 def test_two_process_ring_train_step():
     """The edge-partitioned ring train step — ppermute halo rotation,
     per-shard interpret-mode gather kernel, transposed backward ring,
     Adam — executes across a REAL process boundary and agrees with the
     all_gather-halo layout on the same 2-process mesh (VERDICT r2
     missing #1; the reference is single-device,
-    /root/reference/train.py:459-463)."""
+    /root/reference/train.py:459-463).
+
+    slow tier (run_all_tests.sh): two fresh jax processes compiling the
+    interpret-mode ring step cost ~1-2 min even warm; the default tier
+    keeps the 2-process collective smoke (test_two_process_distributed
+    _cpu) and the single-process ring numerics (test_sharded_scale)."""
     procs, outs = _run_workers(RING_WORKER, timeout=600)
     losses = set()
     for pid, (p, out) in enumerate(zip(procs, outs)):

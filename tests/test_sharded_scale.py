@@ -266,10 +266,16 @@ def test_ring_forward_matches_coo(setup):
         psg.INTERPRET = old
 
 
+@pytest.mark.slow
 def test_ring_train_step_with_augmentation(setup):
     """Full augmented train step (PRF edge dropout) on the ring
     layout: finite loss, and the backward ring (transposed ppermute)
-    produces moving params."""
+    produces moving params.
+
+    slow tier: ~1 min of interpret-kernel compile; the default tier
+    keeps ring fwd numerics (test_ring_forward_matches_coo) and the
+    fwd+bwd loss parity (test_ring_no_dropout_loss_matches_coo), which
+    cover the same ring code paths without the augment plumbing."""
     import dream_gnn_tpu.kernels.pallas_spmm_gather as psg
 
     from dream_gnn_tpu.sharding.scale_graph import \
