@@ -47,19 +47,32 @@ from jax.experimental.pallas import tpu as pltpu
 from dream_gnn_tpu.kernels import pallas_decoder as pd
 
 _LANE = 128          # disease cells per sub-row (vreg lanes)
-_ROWS = 8            # drug rows per tile
+_ROWS = 32           # drug rows per tile
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _tile_forward(r, pd_t, pv_t, b1, w2, b2, rate, train, dtype):
-    """One (1 drug x 128 dis) sub-row of the tile.  PRNG must already
-    be seeded.  Returns (a1, h1d, m1, a2, h2d, m2)."""
+def _tile_forward(asm, pd_t, pv_t, b1, w2, b2, rate, train, dtype):
+    """The WHOLE (ROWS x 128 dis) tile as one (_ROWS*128, H1) batch —
+    row r's cells occupy rows [r*128, (r+1)*128).  PRNG must already
+    be seeded.  ``asm`` is a (_ROWS*128, H1) f32 VMEM scratch used to
+    assemble the outer sum (Mosaic rejects a sublane concat of the
+    offset-shifted row broadcasts: "result/input offset mismatch on
+    non-concat dimension"; static-offset stores assemble the same
+    batch).  Returns (a1, h1d, m1, a2, h2d, m2).
+
+    Batching the _ROWS drug rows into a single matmul M-dim (instead
+    of a per-row loop of (128, H1) x (H1, H2) matmuls) cuts the
+    per-tile MXU dispatch count 8x and draws the dropout masks in one
+    PRNG call; the per-tile VPU work is unchanged.  Measured on the
+    lrssl fold-parallel protocol step: see docs/kernels.md §7."""
     use_drop = train and rate > 0.0
-    a1 = pv_t + pd_t[r:r + 1, :] + b1          # (128, H1) outer sum
-    h1 = jnp.maximum(a1, 0.0)
+    for r in range(_ROWS):
+        asm[r * _LANE:(r + 1) * _LANE, :] = pv_t + pd_t[r:r + 1, :]
+    a1 = asm[...] + b1
+    h1 = jnp.maximum(a1, 0.0)                 # (_ROWS*128, H1)
     m1 = pd._dropout_mask(h1.shape, rate) if use_drop else None
     h1d = h1 * m1 if use_drop else h1
     a2 = jnp.dot(h1d.astype(dtype), w2.astype(dtype),
@@ -71,7 +84,8 @@ def _tile_forward(r, pd_t, pv_t, b1, w2, b2, rate, train, dtype):
 
 
 def _fwd_kernel(seed_ref, pd_ref, pv_ref, b1_ref, w2_ref, b2_ref, w3_ref,
-                out_ref, *, gj: int, rate: float, train: bool, dtype):
+                out_ref, asm, *, gj: int, rate: float, train: bool,
+                dtype):
     i = pl.program_id(0)
     j = pl.program_id(1)
     if train and rate > 0.0:
@@ -82,15 +96,17 @@ def _fwd_kernel(seed_ref, pd_ref, pv_ref, b1_ref, w2_ref, b2_ref, w3_ref,
     w2 = w2_ref[:]
     b2 = b2_ref[:]
     w3 = w3_ref[:]
+    _, _, _, _, h2d, _ = _tile_forward(asm, pd_t, pv_t, b1, w2, b2,
+                                       rate, train, dtype)
+    s = jnp.sum(h2d * w3, axis=1, keepdims=True)   # (_ROWS*128, 1)
     for r in range(_ROWS):
-        _, _, _, _, h2d, _ = _tile_forward(r, pd_t, pv_t, b1, w2, b2,
-                                           rate, train, dtype)
-        out_ref[0, :, r:r + 1] = jnp.sum(h2d * w3, axis=1, keepdims=True)
+        out_ref[0, :, r:r + 1] = s[r * _LANE:(r + 1) * _LANE]
 
 
 def _bwd_kernel(seed_ref, pd_ref, pv_ref, b1_ref, w2_ref, b2_ref, w3_ref,
                 g_ref, dpv_ref, dpd_ref, db1_ref, dw2_ref, db2_ref,
-                dw3_ref, *, gj: int, rate: float, train: bool, dtype):
+                dw3_ref, asm, gasm, *, gj: int, rate: float, train: bool,
+                dtype):
     # Backward grid is (j, i): dis-tile outer so dpv has consecutive
     # visits; dpd is a per-j partial slab (visited once per (j, i)).
     j = pl.program_id(0)
@@ -118,27 +134,33 @@ def _bwd_kernel(seed_ref, pd_ref, pv_ref, b1_ref, w2_ref, b2_ref, w3_ref,
     b2 = b2_ref[:]
     w3 = w3_ref[:]
 
+    a1, h1d, m1, a2, h2d, m2 = _tile_forward(asm, pd_t, pv_t, b1, w2, b2,
+                                             rate, train, dtype)
     for r in range(_ROWS):
-        a1, h1d, m1, a2, h2d, m2 = _tile_forward(r, pd_t, pv_t, b1, w2, b2,
-                                                 rate, train, dtype)
-        g = g_ref[0, :, r:r + 1]                       # (128, 1)
-        dw3_ref[:] += jnp.dot(g.T.astype(dtype), h2d.astype(dtype),
-                              preferred_element_type=jnp.float32)
-        dh2 = g * w3
-        if use_drop:
-            dh2 = dh2 * m2
-        da2 = jnp.where(a2 > 0.0, dh2, 0.0)
-        dw2_ref[:] += jnp.dot(h1d.astype(dtype).T, da2.astype(dtype),
-                              preferred_element_type=jnp.float32)
-        db2_ref[:] += jnp.sum(da2, axis=0, keepdims=True)
-        dh1 = jnp.dot(da2.astype(dtype), w2.astype(dtype).T,
-                      preferred_element_type=jnp.float32)
-        if use_drop:
-            dh1 = dh1 * m1
-        da1 = jnp.where(a1 > 0.0, dh1, 0.0)
-        db1_ref[:] += jnp.sum(da1, axis=0, keepdims=True)
-        dpv_ref[:] += da1
-        dpd_ref[0, r:r + 1, :] = jnp.sum(da1, axis=0, keepdims=True)
+        gasm[r * _LANE:(r + 1) * _LANE, :] = g_ref[0, :, r:r + 1]
+    g = gasm[...]                                      # (_ROWS*128, 1)
+    dw3_ref[:] += jnp.dot(g.T.astype(dtype), h2d.astype(dtype),
+                          preferred_element_type=jnp.float32)
+    dh2 = g * w3
+    if use_drop:
+        dh2 = dh2 * m2
+    da2 = jnp.where(a2 > 0.0, dh2, 0.0)
+    dw2_ref[:] += jnp.dot(h1d.astype(dtype).T, da2.astype(dtype),
+                          preferred_element_type=jnp.float32)
+    db2_ref[:] += jnp.sum(da2, axis=0, keepdims=True)
+    dh1 = jnp.dot(da2.astype(dtype), w2.astype(dtype).T,
+                  preferred_element_type=jnp.float32)
+    if use_drop:
+        dh1 = dh1 * m1
+    da1 = jnp.where(a1 > 0.0, dh1, 0.0)
+    db1_ref[:] += jnp.sum(da1, axis=0, keepdims=True)
+    acc = da1[0:_LANE]
+    for r in range(1, _ROWS):
+        acc = acc + da1[r * _LANE:(r + 1) * _LANE]
+    dpv_ref[:] += acc
+    for r in range(_ROWS):
+        dpd_ref[0, r:r + 1, :] = jnp.sum(
+            da1[r * _LANE:(r + 1) * _LANE], axis=0, keepdims=True)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
@@ -192,6 +214,9 @@ def _fwd_impl(proj_drug, proj_dis, b1, w2, b2, w3, seed, rate, train,
             out_specs=pl.BlockSpec((1, _LANE, _ROWS),
                                    lambda i, j, *_: (i, j, 0),
                                    memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((_ROWS * _LANE, h1), jnp.float32),
+            ],
         ),
         out_shape=jax.ShapeDtypeStruct((gi, nv_p, _ROWS), jnp.float32),
         interpret=pd.INTERPRET,
@@ -256,6 +281,10 @@ def _fused_grid_decoder_bwd(rate, train, dtype, res, g):
                 pl.BlockSpec((1, h2), lambda j, i, *_: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
+            scratch_shapes=[
+                pltpu.VMEM((_ROWS * _LANE, h1), jnp.float32),
+                pltpu.VMEM((_ROWS * _LANE, 1), jnp.float32),
+            ],
         ),
         out_shape=[
             jax.ShapeDtypeStruct((nv_p, h1), jnp.float32),
@@ -316,7 +345,8 @@ def decoder_apply_grid_fused(params, drug_feat, dis_feat, *,
 
 
 def _fwd_kernel_b(seed_ref, pd_ref, pv_ref, b1_ref, w2_ref, b2_ref, w3_ref,
-                  out_ref, *, gj: int, rate: float, train: bool, dtype):
+                  out_ref, asm, *, gj: int, rate: float, train: bool,
+                  dtype):
     f = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
@@ -328,15 +358,17 @@ def _fwd_kernel_b(seed_ref, pd_ref, pv_ref, b1_ref, w2_ref, b2_ref, w3_ref,
     w2 = w2_ref[0]
     b2 = b2_ref[0]
     w3 = w3_ref[0]
+    _, _, _, _, h2d, _ = _tile_forward(asm, pd_t, pv_t, b1, w2, b2,
+                                       rate, train, dtype)
+    s = jnp.sum(h2d * w3, axis=1, keepdims=True)
     for r in range(_ROWS):
-        _, _, _, _, h2d, _ = _tile_forward(r, pd_t, pv_t, b1, w2, b2,
-                                           rate, train, dtype)
-        out_ref[0, 0, :, r:r + 1] = jnp.sum(h2d * w3, axis=1, keepdims=True)
+        out_ref[0, 0, :, r:r + 1] = s[r * _LANE:(r + 1) * _LANE]
 
 
 def _bwd_kernel_b(seed_ref, pd_ref, pv_ref, b1_ref, w2_ref, b2_ref, w3_ref,
                   g_ref, dpv_ref, dpd_ref, db1_ref, dw2_ref, db2_ref,
-                  dw3_ref, *, gj: int, rate: float, train: bool, dtype):
+                  dw3_ref, asm, gasm, *, gj: int, rate: float,
+                  train: bool, dtype):
     f = pl.program_id(0)
     j = pl.program_id(1)
     i = pl.program_id(2)
@@ -362,27 +394,33 @@ def _bwd_kernel_b(seed_ref, pd_ref, pv_ref, b1_ref, w2_ref, b2_ref, w3_ref,
     b2 = b2_ref[0]
     w3 = w3_ref[0]
 
+    a1, h1d, m1, a2, h2d, m2 = _tile_forward(asm, pd_t, pv_t, b1, w2, b2,
+                                             rate, train, dtype)
     for r in range(_ROWS):
-        a1, h1d, m1, a2, h2d, m2 = _tile_forward(r, pd_t, pv_t, b1, w2, b2,
-                                                 rate, train, dtype)
-        g = g_ref[0, 0, :, r:r + 1]
-        dw3_ref[0] += jnp.dot(g.T.astype(dtype), h2d.astype(dtype),
-                              preferred_element_type=jnp.float32)
-        dh2 = g * w3
-        if use_drop:
-            dh2 = dh2 * m2
-        da2 = jnp.where(a2 > 0.0, dh2, 0.0)
-        dw2_ref[0] += jnp.dot(h1d.astype(dtype).T, da2.astype(dtype),
-                              preferred_element_type=jnp.float32)
-        db2_ref[0] += jnp.sum(da2, axis=0, keepdims=True)
-        dh1 = jnp.dot(da2.astype(dtype), w2.astype(dtype).T,
-                      preferred_element_type=jnp.float32)
-        if use_drop:
-            dh1 = dh1 * m1
-        da1 = jnp.where(a1 > 0.0, dh1, 0.0)
-        db1_ref[0] += jnp.sum(da1, axis=0, keepdims=True)
-        dpv_ref[0] += da1
-        dpd_ref[0, 0, r:r + 1, :] = jnp.sum(da1, axis=0, keepdims=True)
+        gasm[r * _LANE:(r + 1) * _LANE, :] = g_ref[0, 0, :, r:r + 1]
+    g = gasm[...]
+    dw3_ref[0] += jnp.dot(g.T.astype(dtype), h2d.astype(dtype),
+                          preferred_element_type=jnp.float32)
+    dh2 = g * w3
+    if use_drop:
+        dh2 = dh2 * m2
+    da2 = jnp.where(a2 > 0.0, dh2, 0.0)
+    dw2_ref[0] += jnp.dot(h1d.astype(dtype).T, da2.astype(dtype),
+                          preferred_element_type=jnp.float32)
+    db2_ref[0] += jnp.sum(da2, axis=0, keepdims=True)
+    dh1 = jnp.dot(da2.astype(dtype), w2.astype(dtype).T,
+                  preferred_element_type=jnp.float32)
+    if use_drop:
+        dh1 = dh1 * m1
+    da1 = jnp.where(a1 > 0.0, dh1, 0.0)
+    db1_ref[0] += jnp.sum(da1, axis=0, keepdims=True)
+    acc = da1[0:_LANE]
+    for r in range(1, _ROWS):
+        acc = acc + da1[r * _LANE:(r + 1) * _LANE]
+    dpv_ref[0] += acc
+    for r in range(_ROWS):
+        dpd_ref[0, 0, r:r + 1, :] = jnp.sum(
+            da1[r * _LANE:(r + 1) * _LANE], axis=0, keepdims=True)
 
 
 def _pad_rows_b(x, n):
@@ -434,6 +472,9 @@ def _fwd_impl_b(proj_drug, proj_dis, b1, w2, b2, w3, seed, rate, train,
             out_specs=pl.BlockSpec((1, 1, _LANE, _ROWS),
                                    lambda f, i, j, *_: (f, i, j, 0),
                                    memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((_ROWS * _LANE, h1), jnp.float32),
+            ],
         ),
         out_shape=jax.ShapeDtypeStruct((nf, gi, nv_p, _ROWS), jnp.float32),
         interpret=pd.INTERPRET,
@@ -490,6 +531,10 @@ def _fused_grid_decoder_b_bwd(rate, train, dtype, res, g):
                              lambda f, j, i, *_: (f, j, i, 0),
                              memory_space=pltpu.VMEM),
                 fold(1, h1), fold(h1, h2), fold(1, h2), fold(1, h2),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((_ROWS * _LANE, h1), jnp.float32),
+                pltpu.VMEM((_ROWS * _LANE, 1), jnp.float32),
             ],
         ),
         out_shape=[
