@@ -324,7 +324,12 @@ def bench_scale_config(quick=False):
 
     n_chain = 5 if quick else 10
     t0 = time.perf_counter()
+    # Warm BOTH chain lengths before timing: each static step count is
+    # its own compiled program, and a compile landing inside a timed
+    # call once produced a 9 s "step" reading in --quick (reps=1) mode.
     state, losses = run_steps(state, inputs, labels, 1)
+    float(losses[-1])
+    state, losses = run_steps(state, inputs, labels, n_chain)
     float(losses[-1])
     log(f"scale step compile+first: {time.perf_counter() - t0:.1f}s")
     t1 = np.inf
