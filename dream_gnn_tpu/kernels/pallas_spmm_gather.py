@@ -34,9 +34,10 @@ does skip its scatter matmul — one scalar test per batch — which keeps
 the sharded path's chunk-count padding near-free.
 
 The scatter mask (one-hot of each edge's dst row, the second-largest
-VPU cost after the gathers) is built at 16-bit granularity: an int16
-iota/compare packs two lanes per 32-bit vreg word and the select emits
-bf16 ``1.0``s directly — half the vreg traffic of the f32 build.
+VPU cost after the gathers) is a 32-bit int compare against a row-id
+plane materialised once in VMEM scratch — v5e has no 16-bit-packed
+compare of any kind (see the negative-result note below), so the only
+win available is skipping the per-chunk iota regeneration.
 
 Source panels stream from HBM through an NSLOTS-deep VMEM ring with
 explicit async DMA issued LEAD transitions ahead (schedule precomputed
@@ -99,9 +100,11 @@ GROUP_BATCH = 16
 # dtype is bf16 (fp32 callers keep exact fp32 panels).
 PACK_PANELS = True
 
-# Build the dst one-hot scatter mask with 16-bit compares (two lanes
-# per vreg word).  DEAD ON v5e, kept as a documented negative result
-# for future targets: Mosaic rejects packed i16 iota, packed i16
+# Negative result, documented so nobody re-plumbs it (there is NO
+# mask16 knob — a parameter that silently measured the identical
+# program was removed per round-3 advice): building the dst one-hot
+# scatter mask with 16-bit compares (two lanes per vreg word) is
+# impossible on v5e.  Mosaic rejects packed i16 iota, packed i16
 # compares ("Target does not support this comparison"), the f16 type
 # outright ("Unsupported type in mosaic dialect"), AND packed bf16
 # compares (same cmpf rejection on vector<...x2xbf16>) — the v5e VPU
@@ -110,13 +113,12 @@ PACK_PANELS = True
 # iota regeneration, materialised once into VMEM scratch instead (the
 # VPU reads operands from VMEM natively, so the resident plane costs
 # no generation ops on later chunks).
-MASK16 = False
 
 
 def _spmm_gather_kernel(meta_ref, trans_sb_ref, dst_tile_ref, first_ref,
                         src_ref, dst_ref, val_ref, xt_hbm, out_ref,
                         panels, sems, rows_sc, *, dtype, group_batch,
-                        packed, span, window, mask16):
+                        packed, span, window):
     i = pl.program_id(0)
     p0b = p0_bits_for(span)
     shift = p0b + window
@@ -144,7 +146,6 @@ def _spmm_gather_kernel(meta_ref, trans_sb_ref, dst_tile_ref, first_ref,
     sels = ids_s >> _SUB_SHIFT    # sub-tile of each edge's source row
     gb = group_batch
     n_batches = GROUPS_PER_CHUNK // gb
-    del mask16   # dead on v5e (no 16-bit-packed compare; see MASK16)
 
     def panel_dma(sl, sb):
         return pltpu.make_async_copy(
@@ -250,8 +251,7 @@ def _spmm_gather_kernel(meta_ref, trans_sb_ref, dst_tile_ref, first_ref,
 def _spmm_gather_raw(g: GroupedCoo, x: jnp.ndarray,
                      dtype=jnp.bfloat16,
                      group_batch: int | None = None,
-                     packed: bool | None = None,
-                     mask16: bool | None = None) -> jnp.ndarray:
+                     packed: bool | None = None) -> jnp.ndarray:
     gb = GROUP_BATCH if group_batch is None else group_batch
     if GROUPS_PER_CHUNK % gb:
         raise ValueError(f"group_batch {gb} must divide {GROUPS_PER_CHUNK}")
@@ -260,13 +260,6 @@ def _spmm_gather_raw(g: GroupedCoo, x: jnp.ndarray,
     if packed is None:
         packed = PACK_PANELS and jnp.dtype(dtype) == jnp.bfloat16
     packed = packed and d % 2 == 0
-    if mask16 is None:
-        mask16 = MASK16
-    # The split-compare mask requires every select/compare operand in
-    # 16-bit tiling — bf16 scatter dtype only (f32 callers keep the
-    # int32 compare; TILE_DST_G row ids must split exactly in bf16).
-    mask16 = (mask16 and jnp.dtype(dtype) == jnp.bfloat16
-              and TILE_DST_G <= 512)
     x_pad = x if x.shape[0] == g.n_src_pad else jnp.pad(
         x, ((0, g.n_src_pad - x.shape[0]), (0, 0)))
     # Panels stay 32-bit: tpu.dynamic_gather requires the data bitwidth
@@ -292,7 +285,7 @@ def _spmm_gather_raw(g: GroupedCoo, x: jnp.ndarray,
     out_t = pl.pallas_call(
         functools.partial(_spmm_gather_kernel, dtype=dtype,
                           group_batch=gb, packed=packed, span=span,
-                          window=window, mask16=mask16),
+                          window=window),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,    # meta, trans_sb, dst_tile, first
             grid=(g.n_chunks,),

@@ -218,7 +218,8 @@ def train_stacked_protocol(
     Failure recovery: with ``cfg.checkpoint_every`` the whole stacked
     state (all items' params/optimizer/PRNG/lr — ONE pytree) plus the
     per-item plateau schedulers and best-by-AUPR bookkeeping is written
-    atomically to ``{save_dirs[0]}/ckpt_stacked.npz``; with ``resume``
+    atomically to ``ckpt_stacked.npz`` under the first non-None seed
+    dir; with ``resume``
     (default ``cfg.resume``) a preempted run restarts from it with an
     identical stream, and CSV rows past the checkpoint are dropped so
     the resumed artifacts match an uninterrupted run byte for byte
@@ -242,7 +243,10 @@ def train_stacked_protocol(
     # exactly the sequential harness's fold_in(seed_key, cv).
     items = [(si, cv) for si in range(n_seeds) for cv in folds]
     n_folds = len(items)
-    save_dir = save_dirs[0]
+    # Checkpoint anchor = first seed dir that is actually set (NOT
+    # blindly save_dirs[0]: a None first entry must not silently
+    # disable artifacts for every other seed).
+    save_dir = next((d for d in save_dirs if d), None)
 
     def _tile(stacked: StackedFolds) -> StackedFolds:
         if n_seeds == 1:
@@ -272,6 +276,16 @@ def train_stacked_protocol(
 
         state, start_iter, extra = load_train_state(
             ckpt_path, state, None, with_extra=True)
+        # A stale checkpoint from a run with a different (seeds x
+        # folds) stacking must fail cleanly, not KeyError mid-restore
+        # or silently partially restore the plateau schedulers.
+        n_ckpt = len(np.asarray(extra["plateau"]))
+        if n_ckpt != n_folds or len(extra["best"]) != n_folds:
+            raise ValueError(
+                f"{ckpt_path} holds {n_ckpt} stacked items but this run "
+                f"stacks {n_folds} ({n_seeds} seeds x {len(folds)} "
+                f"folds) — delete the stale checkpoint or match the "
+                f"stacking it was written with")
         for i, row in enumerate(np.asarray(extra["plateau"])):
             plateaus[i].lr = float(row[0])
             plateaus[i].best = float(row[1])
@@ -286,19 +300,17 @@ def train_stacked_protocol(
             print(f"Resumed stacked run from {ckpt_path} "
                   f"at iter {start_iter}")
 
-    loggers = [None] * n_folds
-    if save_dir:
-        for d in save_dirs:
-            if d:
-                os.makedirs(d, exist_ok=True)
-        loggers = [MetricLogger(
-            ["iter", "loss", "train_auroc", "train_aupr",
-             "test_auroc", "test_aupr"],
-            ["%d", "%.4f", "%.4f", "%.4f", "%.4f", "%.4f"],
-            os.path.join(save_dirs[si], f"test_metric{cv + 1}.csv"),
-            resume_iter=start_iter if start_iter else None)
-            if save_dirs[si] else None
-            for si, cv in items]
+    for d in save_dirs:
+        if d:
+            os.makedirs(d, exist_ok=True)
+    loggers = [MetricLogger(
+        ["iter", "loss", "train_auroc", "train_aupr",
+         "test_auroc", "test_aupr"],
+        ["%d", "%.4f", "%.4f", "%.4f", "%.4f", "%.4f"],
+        os.path.join(save_dirs[si], f"test_metric{cv + 1}.csv"),
+        resume_iter=start_iter if start_iter else None)
+        if save_dirs[si] else None
+        for si, cv in items]
 
     total_iters = cfg.train_max_iter - 1       # range(1, max_iter)
     done = start_iter
@@ -373,7 +385,7 @@ def train_stacked_protocol(
     for lg in loggers:
         if lg:
             lg.close()
-    if save_dir:
+    if any(save_dirs):
         from dream_gnn_tpu.train.checkpoint import save_pytree
 
         for i, (si, cv) in enumerate(items):

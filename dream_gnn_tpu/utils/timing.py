@@ -84,12 +84,16 @@ def chained_ms(fn: Callable, x: jnp.ndarray, *, args=(), n: int = 8,
 
     # Distinct input buffers per repeat: identical-arg repeats through
     # the relay can be served from a cache.  Materialise before timing.
-    xs = [x * (1.0 + 1e-6 * (i + 1)) for i in range(reps)]
+    # The warm-up buffer (index reps) is DEDICATED — warming with a
+    # buffer that is then also timed would reintroduce the
+    # identical-argument hazard for the first timed rep.
+    xs = [x * (1.0 + 1e-6 * (i + 1)) for i in range(reps + 1)]
     for xi in xs:
         np.asarray(jax.device_get(xi.reshape(-1)[0]))
+    warm, xs = xs[-1], xs[:-1]
 
-    float(c1(xs[0], *args))   # compile + warm
-    float(cn(xs[0], *args))
+    float(c1(warm, *args))   # compile + warm
+    float(cn(warm, *args))
 
     def best(chain):
         b = np.inf

@@ -44,7 +44,12 @@ BAND_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "results", "gate_short_protocol")
 BAND_PATH = os.path.join(BAND_DIR, "aupr_distribution.json")
 BAND_SEEDS = [77, 31415, 888, 1001, 9999]
-GATE_SEED = 77
+# Held OUT of BAND_SEEDS (VERDICT r3 #6: a gate run whose seed helped
+# define the band is partially circular).  42 is a member of the
+# reference's fixed seed list (/root/reference/train.py:471) that the
+# band generation never touches.
+GATE_SEED = 42
+assert GATE_SEED not in BAND_SEEDS
 SHORT_ITERS = 2001
 
 
@@ -73,6 +78,19 @@ def _run_protocol(seeds, save_dir: str):
 
 
 def main() -> int:
+    # The production execution config (decoder_backend='pallas',
+    # INTERPRET=False) does not lower on CPU — honor the
+    # "real-TPU-only checks auto-skip" contract run_all_tests.sh
+    # relies on (set -e would otherwise fail the whole nightly on
+    # non-TPU machines).
+    import jax
+
+    if jax.devices()[0].platform not in ("tpu", "axon"):
+        print(f"AUPR_GATE_SKIP: platform is "
+              f"{jax.devices()[0].platform!r}, the gate's pallas "
+              f"decoder needs a real TPU")
+        return 0
+
     from dream_gnn_tpu.eval.aupr_gate import (collect_fold_auprs,
                                               distribution_summary, gate)
 

@@ -2,12 +2,12 @@
 
 Sweeps the layout's superblock ``span`` (panel size / occupancy
 lever), gather ``window`` (shuffles per group — the dominant VPU
-cost), ``group_batch`` (groups fused per scatter matmul) and the
-16-bit mask build on the 10M-edge scale config, printing the roofline
-attribution for each point: slot occupancy, scatter-MAC count, panel
-DMA bytes and the achieved HBM bandwidth / MXU utilisation they imply.
-Run after kernel changes to pick the production defaults in
-kernels/pallas_spmm_gather.py (GROUP_BATCH / PACK_PANELS / MASK16) and
+cost) and ``group_batch`` (groups fused per scatter matmul) on the
+10M-edge scale config, printing the roofline attribution for each
+point: slot occupancy, scatter-MAC count, panel DMA bytes and the
+achieved HBM bandwidth / MXU utilisation they imply.  Run after
+kernel changes to pick the production defaults in
+kernels/pallas_spmm_gather.py (GROUP_BATCH / PACK_PANELS) and
 graph/grouped.py (SPAN / WINDOW).
 
 All timings use utils/timing.chained_ms — amortised chained dispatch
@@ -88,10 +88,9 @@ for span, window in ((16, 3), (8, 8)):
           f"chunks={pair.fwd.n_chunks}, occ={pair.fwd.occupancy:.3f}",
           flush=True)
     floor = spmm_gather_floor_ms(pair.fwd, d, packed=True)
-    for gb, mask16 in (((16, False),)):
-        def fwd(x, gr, gb=gb, mask16=mask16):
-            return psg._spmm_gather_raw(gr.fwd, x, group_batch=gb,
-                                        mask16=mask16)
+    for gb in (16,):
+        def fwd(x, gr, gb=gb):
+            return psg._spmm_gather_raw(gr.fwd, x, group_batch=gb)
         out = jax.jit(fwd)(x, pair)
         if ref is None:
             ref = jax.block_until_ready(out)
@@ -99,7 +98,7 @@ for span, window in ((16, 3), (8, 8)):
             rel = float(jnp.max(jnp.abs(out - ref)) /
                         (1e-6 + jnp.max(jnp.abs(ref))))
             assert rel < 2e-2, (span, window, gb, rel)
-        name = f"fwd s={span:2d} w={window} gb={gb:2d} m16={int(mask16)}"
+        name = f"fwd s={span:2d} w={window} gb={gb:2d}"
         try:
             ms = chained_ms(fwd, x, args=(pair,), n=8, reps=3,
                             floor_ms=floor, name=name)
@@ -111,7 +110,7 @@ for span, window in ((16, 3), (8, 8)):
         print("    " + roofline(pair.fwd, ms), flush=True)
         results.append((name, ms))
         if ms < best[0]:
-            best = (ms, (span, window, gb, mask16))
+            best = (ms, (span, window, gb))
 
 # fwd+bwd on the round-2 baseline shape plus the new default layout.
 for span, window in ((16, 3), (8, 8)):
@@ -131,5 +130,4 @@ for span, window in ((16, 3), (8, 8)):
     results.append((name, ms))
 
 print(f"\nbest fwd: span={best[1][0]} window={best[1][1]} "
-      f"gb={best[1][2]} mask16={best[1][3]}  ({best[0]:.2f} ms)",
-      flush=True)
+      f"gb={best[1][2]}  ({best[0]:.2f} ms)", flush=True)
