@@ -275,7 +275,10 @@ def bench_scale_config(quick=False):
     val = rng.random(n_edges).astype(np.float32) + 0.5
     x = jnp.asarray(rng.normal(size=(n_nodes, d)).astype(np.float32))
 
-    # Bare kernel, production layout defaults.
+    # Bare kernel, production layout defaults.  Every scale metric
+    # carries its physical floor (HBM/MXU bound for the layout) and
+    # the achieved fraction of it, so the bench tracks
+    # distance-to-light-speed across rounds (VERDICT r3 #8).
     t0 = time.perf_counter()
     pair = grouped_pair_from_arrays(src, dst, val, n_nodes, n_nodes)
     log(f"scale: grouped layout built in {time.perf_counter() - t0:.1f}s "
@@ -285,12 +288,18 @@ def bench_scale_config(quick=False):
         lambda x, gr: psg._spmm_gather_raw(gr.fwd, x),
         x, args=(pair,), n=6, reps=2, floor_ms=floor_f,
         name="spmm fwd"), 2)
+    out["spmm_fwd_floor_ms"] = round(floor_f, 2)
+    out["spmm_fwd_floor_fraction"] = round(
+        floor_f / out["spmm_fwd_ms_10m"], 3)
     floor_fb = floor_f + spmm_gather_floor_ms(pair.bwd, d, packed=True)
     out["spmm_fwd_bwd_ms_10m"] = round(chained_ms(
         lambda x, gr: jax.grad(
             lambda y: jnp.sum(psg.spmm_gather(gr, y) ** 2))(x),
         x, args=(pair,), n=4, reps=2, floor_ms=floor_fb,
         name="spmm fwd+bwd"), 2)
+    out["spmm_fwd_bwd_floor_ms"] = round(floor_fb, 2)
+    out["spmm_fwd_bwd_floor_fraction"] = round(
+        floor_fb / out["spmm_fwd_bwd_ms_10m"], 3)
     log(f"scale kernel: fwd {out['spmm_fwd_ms_10m']} ms, fwd+bwd "
         f"{out['spmm_fwd_bwd_ms_10m']} ms")
     del pair
@@ -345,9 +354,94 @@ def bench_scale_config(quick=False):
         float(losses[-1])
         tn = min(tn, time.perf_counter() - t0)
     out["full_step_ms_10m"] = round((tn - t1) / (n_chain - 1) * 1e3, 1)
+    # Step floor: the aggregate SpMM HBM/MXU floor of the step's
+    # 3 layers x 4 relation SpMMs, forward + transposed backward
+    # (decoder/FGCN/optimizer floors are comparatively negligible and
+    # not modelled — the fraction is therefore slightly optimistic).
+    step_floor = model.layers * sum(
+        spmm_gather_floor_ms(p.fwd, d, packed=True)
+        + spmm_gather_floor_ms(p.bwd, d, packed=True)
+        for p in (*graph.fwd, *graph.rev))
+    out["full_step_spmm_floor_ms"] = round(step_floor, 1)
+    out["full_step_floor_fraction"] = round(
+        step_floor / out["full_step_ms_10m"], 3)
     log(f"scale full step: {out['full_step_ms_10m']} ms "
-        f"(T_1={t1 * 1e3:.0f}ms T_{n_chain}={tn * 1e3:.0f}ms)")
+        f"(T_1={t1 * 1e3:.0f}ms T_{n_chain}={tn * 1e3:.0f}ms, "
+        f"spmm floor {step_floor:.1f} ms)")
     return out
+
+
+def bench_ring_efficiency(t1_fwd_ms, t1_fb_ms, quick=False):
+    """Ring scaling-efficiency curve from measured sub-block times
+    (VERDICT r3 #1; full derivation in docs/kernels.md §5 and
+    scripts/bench_ring_subblocks.py).
+
+    Per ring step a shard computes ONE ~E/S^2-edge sub-block while
+    ppermute moves one (n_src/S, d) bf16 block over ICI; the model is
+    eff(S) = (T_1/S) / (S * max(t_sub(S), t_ici(S))) with t_sub
+    MEASURED here on layouts of the real ring geometry (same density,
+    same auto_span_window resolution as _sharded_grouped_pairs_ring)
+    and t_ici from the ~45 GB/s per-direction v5e ICI link (doubled
+    for fwd+bwd — the backward ring rotates cotangents too).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from dream_gnn_tpu.graph.grouped import (auto_span_window,
+                                             grouped_pair_from_arrays)
+    from dream_gnn_tpu.utils.timing import (chained_ms,
+                                            spmm_gather_floor_ms)
+    import dream_gnn_tpu.kernels.pallas_spmm_gather as psg
+
+    n_nodes, n_edges, d = 100_000, 10_000_000, 128
+    ici_bytes_per_s = 45e9
+    rng = np.random.default_rng(7)
+    curve = []
+    for S in (2, 4, 8, 16):
+        n_sub = -(-n_nodes // S)
+        e_sub = n_edges // (S * S)
+        span, window = auto_span_window(e_sub, n_sub, n_sub)
+        pair = grouped_pair_from_arrays(
+            rng.integers(0, n_sub, e_sub), rng.integers(0, n_sub, e_sub),
+            rng.random(e_sub).astype(np.float32) + 0.5, n_sub, n_sub,
+            span=span, window=window)
+        x = jnp.asarray(rng.normal(size=(n_sub, d)).astype(np.float32))
+        # Sub-ms kernels need long chains: T_N - T_1 must accumulate
+        # far above the relay's few-ms jitter.
+        n_links = int(np.clip(6_000_000 // e_sub, 6, 128))
+        fwd_ms = chained_ms(
+            lambda x, gr: psg._spmm_gather_raw(gr.fwd, x),
+            x, args=(pair,), n=n_links, reps=2 if quick else 3,
+            floor_ms=spmm_gather_floor_ms(pair.fwd, d, packed=True),
+            name=f"ring sub fwd S={S}")
+        fb_ms = chained_ms(
+            lambda x, gr: jax.grad(
+                lambda y: jnp.sum(psg.spmm_gather(gr, y) ** 2))(x),
+            x, args=(pair,), n=max(n_links // 2, 4),
+            reps=2 if quick else 3,
+            floor_ms=spmm_gather_floor_ms(pair.fwd, d, packed=True)
+            + spmm_gather_floor_ms(pair.bwd, d, packed=True),
+            name=f"ring sub fwd+bwd S={S}")
+        ici = (n_nodes / S) * d * 2 / ici_bytes_per_s * 1e3
+        # Clamp at 1.0: sub-block and T_1 measurements carry
+        # independent noise, so near-ideal points can print slightly
+        # >100%; the raw t_sub values stay unclamped in the JSON.
+        eff_f = min(1.0, (t1_fwd_ms / S) / (S * max(fwd_ms, ici)))
+        eff_fb = min(1.0, (t1_fb_ms / S) / (S * max(fb_ms, 2 * ici)))
+        curve.append({
+            "S": S, "sub_edges": e_sub,
+            "occ": round(pair.fwd.occupancy, 3),
+            "t_sub_fwd_ms": round(fwd_ms, 3),
+            "t_sub_fwd_bwd_ms": round(fb_ms, 3),
+            "ici_ms_per_step": round(ici, 3),
+            "eff_fwd": round(eff_f, 3),
+            "eff_fwd_bwd": round(eff_fb, 3)})
+        log(f"ring S={S}: t_sub fwd {fwd_ms:.3f} ms (occ "
+            f"{pair.fwd.occupancy:.2f}), eff fwd {eff_f:.1%} "
+            f"fwd+bwd {eff_fb:.1%}")
+        del pair, x
+    break80 = next((c["S"] for c in curve if c["eff_fwd"] < 0.8), None)
+    return {"curve": curve, "break80_fwd_S": break80}
 
 
 def bench_torch_cpu(dataset, cfg, model_cfg, steps=5):
@@ -416,6 +510,17 @@ def main():
         scale = bench_scale_config(quick=quick)
     except Exception as e:  # noqa: BLE001 — diagnostics to stderr
         log(f"scale bench failed: {type(e).__name__}: {e}")
+
+    # Ring scaling-efficiency curve (measured sub-block dispatch
+    # times; VERDICT r3 #1).  Uses the scale bench's T_1 when
+    # available.
+    try:
+        if "spmm_fwd_ms_10m" in scale:
+            scale["ring_efficiency"] = bench_ring_efficiency(
+                scale["spmm_fwd_ms_10m"], scale["spmm_fwd_bwd_ms_10m"],
+                quick=quick)
+    except Exception as e:  # noqa: BLE001
+        log(f"ring efficiency bench failed: {type(e).__name__}: {e}")
 
     tpu_eps = fold_steps_per_s * eps
     ref_eps = torch_steps_per_s * eps

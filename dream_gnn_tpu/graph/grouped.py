@@ -83,11 +83,12 @@ def p0_bits_for(span: int) -> int:
     return (span - 1).bit_length()
 
 
-def auto_span_window(n_live: int, n_src: int, n_dst: int):
+def auto_span_window(n_live: int, n_src: int, n_dst: int,
+                     tile_dst: int = TILE_DST_G):
     """Density-adaptive (span, window) for a layout.
 
     Slot occupancy is set by the expected edge count of a
-    (TILE_DST_G x window*SUB) region: sparse graphs need wider windows
+    (tile_dst x window*SUB) region: sparse graphs need wider windows
     to fill 128-edge slots (at the 10M-edge scale config's rating-1
     relation — 3M edges over 100k x 100k — the fixed window=3 default
     filled slots to only 0.39, wasting 2.5x scatter MACs + mask
@@ -99,7 +100,7 @@ def auto_span_window(n_live: int, n_src: int, n_dst: int):
     shuffle cost grows linearly with window).
     """
     density = n_live / max(float(n_src) * float(n_dst), 1.0)
-    exp_per_subtile = density * TILE_DST_G * SUB
+    exp_per_subtile = density * tile_dst * SUB
     # Cap at 8: past that, GROUPS_PER_CHUNK chunk-slot padding (not
     # window cuts) bounds occupancy (~0.85 measured at 3M/100k^2), so
     # wider windows only add shuffles.
@@ -135,6 +136,12 @@ class GroupedCoo:
     window: int = dataclasses.field(default=WINDOW,
                                     metadata=dict(static=True))
     n_live: int = dataclasses.field(default=0, metadata=dict(static=True))
+    # Dst rows per output tile.  Default is the SpMM kernel's 512; the
+    # scale decoder layout uses fatter tiles (its panel-stream traffic
+    # is n_dst_tiles * n_src * bytes, so fewer, larger dst tiles cut
+    # DMA where the one-hot MXU cost can absorb it).
+    tile_dst: int = dataclasses.field(default=TILE_DST_G,
+                                      metadata=dict(static=True))
 
     @property
     def n_chunks(self) -> int:
@@ -147,7 +154,7 @@ class GroupedCoo:
 
     @property
     def n_dst_pad(self) -> int:
-        return -(-self.n_dst // TILE_DST_G) * TILE_DST_G
+        return -(-self.n_dst // self.tile_dst) * self.tile_dst
 
     @property
     def occupancy(self) -> float:
@@ -163,13 +170,14 @@ class GroupedCoo:
 def grouped_from_arrays(src, dst, val, n_src: int, n_dst: int,
                         span: int | None = None,
                         window: int | None = None,
-                        use_native: bool = True) -> GroupedCoo:
+                        use_native: bool = True,
+                        tile_dst: int = TILE_DST_G) -> GroupedCoo:
     src = np.asarray(src, np.int64)
     dst = np.asarray(dst, np.int64)
     val = np.asarray(val, np.float32)
     if span is None or window is None:
         a_span, a_window = auto_span_window(
-            int((val != 0).sum()), n_src, n_dst)
+            int((val != 0).sum()), n_src, n_dst, tile_dst)
         span = a_span if span is None else span
         window = a_window if window is None else window
     window = min(window, span)
@@ -181,7 +189,7 @@ def grouped_from_arrays(src, dst, val, n_src: int, n_dst: int,
     # tests/test_native_builder.py.
     from dream_gnn_tpu.graph import native as _native
     built = _native.build_grouped_native(src, dst, val, n_src, n_dst,
-                                         SUB, TILE_DST_G,
+                                         SUB, tile_dst,
                                          GROUPS_PER_CHUNK, span, window,
                                          LEAD) \
         if use_native else None
@@ -194,13 +202,14 @@ def grouped_from_arrays(src, dst, val, n_src: int, n_dst: int,
             trans_sb=jnp.asarray(trans_sb),
             dst_tile=jnp.asarray(c_dt), first_of_dst=jnp.asarray(c_first),
             edge_id=jnp.asarray(g_eid), n_src=n_src, n_dst=n_dst,
-            span=span, window=window, n_live=int(n_live))
+            span=span, window=window, n_live=int(n_live),
+            tile_dst=tile_dst)
     live = val != 0
     src, dst, val = src[live], dst[live], val[live]
     phys = np.arange(len(src), dtype=np.int64)   # live-edge indexing
 
     st = src // SUB
-    dt = dst // TILE_DST_G
+    dt = dst // tile_dst
     sb = st // span
     order = np.lexsort((st, dt))
     src, dst, val, st, dt, sb, phys = (src[order], dst[order], val[order],
@@ -231,7 +240,7 @@ def grouped_from_arrays(src, dst, val, n_src: int, n_dst: int,
     ends = np.asarray(ends, np.int64)
 
     # Groups -> chunks by dst tile (GROUPS_PER_CHUNK per chunk).
-    n_dst_tiles = -(-n_dst // TILE_DST_G)
+    n_dst_tiles = -(-n_dst // tile_dst)
     groups_by_tile = {t: [] for t in range(n_dst_tiles)}
     for gi in range(len(starts)):
         groups_by_tile[int(dt[starts[gi]])].append(gi)
@@ -262,7 +271,7 @@ def grouped_from_arrays(src, dst, val, n_src: int, n_dst: int,
             a, b = starts[gi], ends[gi]
             m = b - a
             g_src[ci, gj, :m] = src[a:b] % span_sub
-            g_dst[ci, gj, :m] = dst[a:b] % TILE_DST_G
+            g_dst[ci, gj, :m] = dst[a:b] % tile_dst
             g_val[ci, gj, :m] = val[a:b]
             g_eid[ci, gj, :m] = phys[a:b]
             pos = ci * GROUPS_PER_CHUNK + gj
@@ -313,7 +322,7 @@ def grouped_from_arrays(src, dst, val, n_src: int, n_dst: int,
         trans_sb=jnp.asarray(trans_sb_arr),
         dst_tile=jnp.asarray(c_dt), first_of_dst=jnp.asarray(first),
         edge_id=jnp.asarray(g_eid), n_src=n_src, n_dst=n_dst, span=span,
-        window=window, n_live=int(n))
+        window=window, n_live=int(n), tile_dst=tile_dst)
 
 
 @jax.tree_util.register_dataclass

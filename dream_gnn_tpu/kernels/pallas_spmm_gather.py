@@ -73,7 +73,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from dream_gnn_tpu.graph.grouped import (GROUPS_PER_CHUNK, LEAD, NSLOTS,
-                                         SUB, TILE_DST_G, GroupedCoo,
+                                         SUB, GroupedCoo,
                                          GroupedCooPair, p0_bits_for)
 
 INTERPRET = False
@@ -225,8 +225,8 @@ def _spmm_gather_kernel(meta_ref, trans_sb_ref, dst_tile_ref, first_ref,
                 msgs = jnp.concatenate([hi, lo], axis=0)   # (d, gb*128)
             v = val[base:base + gb].reshape(1, gb * SUB)
             dsts = ids_d[base:base + gb].reshape(1, gb * SUB)
-            eq = rows_sc[0] == jnp.broadcast_to(dsts,
-                                                (TILE_DST_G, gb * SUB))
+            td = out_ref.shape[1]
+            eq = rows_sc[0] == jnp.broadcast_to(dsts, (td, gb * SUB))
             if jnp.dtype(dtype) == jnp.float32:
                 # Edge values ride the one-hot mask: the select emits
                 # val_e at the [dst_e, e] element instead of 1.0 — no
@@ -236,7 +236,7 @@ def _spmm_gather_kernel(meta_ref, trans_sb_ref, dst_tile_ref, first_ref,
                 # (Mosaic "Invalid relayout"), so the bf16 path keeps
                 # the classic cast+mul below.
                 m = jnp.where(
-                    eq, jnp.broadcast_to(v, (TILE_DST_G, gb * SUB)),
+                    eq, jnp.broadcast_to(v, (td, gb * SUB)),
                     jnp.zeros((), dtype))
             else:
                 m = eq.astype(dtype)
@@ -294,13 +294,13 @@ def _spmm_gather_raw(g: GroupedCoo, x: jnp.ndarray,
                 pl.BlockSpec(memory_space=pl.ANY),     # xT3 stays in HBM
             ],
             out_specs=pl.BlockSpec(
-                (d, TILE_DST_G),
+                (d, g.tile_dst),
                 lambda i, meta, tsb, dt, first: (0, dt[i]),
                 memory_space=pltpu.VMEM),
             scratch_shapes=[
                 pltpu.VMEM((NSLOTS, span, panel_rows, SUB), panel_dtype),
                 pltpu.SemaphoreType.DMA((NSLOTS,)),
-                pltpu.VMEM((1, TILE_DST_G, gb * SUB), jnp.int32),
+                pltpu.VMEM((1, g.tile_dst, gb * SUB), jnp.int32),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((d, g.n_dst_pad), jnp.float32),

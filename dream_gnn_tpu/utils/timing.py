@@ -127,7 +127,7 @@ def spmm_gather_floor_ms(g, d: int, packed: bool) -> float:
     Output: d x n_dst_pad f32 written (+ read for accumulation).
     MXU: TILE_DST x d MACs per slot.
     """
-    from dream_gnn_tpu.graph.grouped import LEAD, SUB, TILE_DST_G
+    from dream_gnn_tpu.graph.grouped import LEAD, SUB
 
     n_trans = int(g.trans_sb.shape[0]) - LEAD
     bytes_per_row = (d // 2 if packed else d) * 4
@@ -136,5 +136,5 @@ def spmm_gather_floor_ms(g, d: int, packed: bool) -> float:
     edge_bytes = slots * 12
     out_bytes = 2 * d * g.n_dst_pad * 4
     hbm_ms = (panel_bytes + edge_bytes + out_bytes) / HBM_BYTES_PER_S * 1e3
-    mxu_ms = slots * TILE_DST_G * d / MXU_MACS_PER_S * 1e3
+    mxu_ms = slots * g.tile_dst * d / MXU_MACS_PER_S * 1e3
     return max(hbm_ms, mxu_ms)

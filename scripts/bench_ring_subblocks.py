@@ -97,17 +97,22 @@ def main():
               f"occ={pair.fwd.occupancy:.2f} "
               f"(build {time.perf_counter() - t0:.1f}s)", flush=True)
 
+        # Chain length scales INVERSELY with kernel size: sub-ms
+        # kernels need T_N - T_1 to accumulate far above the relay's
+        # few-ms jitter (a first cut with n=8 measured a negative
+        # per-application time at S=16).
+        n_links = int(np.clip(6_000_000 // e_sub, 6, 128))
         floor_f = spmm_gather_floor_ms(pair.fwd, D, packed=True)
         fwd_ms = chained_ms(
             lambda x, gr: psg._spmm_gather_raw(gr.fwd, x),
-            x, args=(pair,), n=8 if e_sub < 1e6 else 6,
+            x, args=(pair,), n=n_links,
             reps=2 if QUICK else 3, floor_ms=floor_f,
             name=f"sub fwd S={S}")
         floor_fb = floor_f + spmm_gather_floor_ms(pair.bwd, D, packed=True)
         fb_ms = chained_ms(
             lambda x, gr: jax.grad(
                 lambda y: jnp.sum(psg.spmm_gather(gr, y) ** 2))(x),
-            x, args=(pair,), n=6 if e_sub < 1e6 else 4,
+            x, args=(pair,), n=max(n_links // 2, 4),
             reps=2 if QUICK else 3, floor_ms=floor_fb,
             name=f"sub fwd+bwd S={S}")
         rows.append(dict(S=S, n_sub=n_sub, e_sub=e_sub,
