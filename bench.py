@@ -305,28 +305,39 @@ def bench_scale_config(quick=False):
     del pair
 
     # Full training step (mirrors scripts/bench_scale.py --grouped).
+    # The 1M-candidate decoder runs the fused scale kernel
+    # (kernels/pallas_scale_decoder.py, round 4): pred comes back in
+    # slot order and the labels/weights are slot-permuted once at
+    # setup (BCE/AUROC are permutation-invariant under the weights).
+    from dream_gnn_tpu.kernels.pallas_scale_decoder import (
+        build_scale_decoder_layout)
+
     vals01 = (rng.random(n_edges) < 0.3).astype(np.float32)
     graph = build_enc_graph_grouped(np.stack([src, dst]), vals01,
                                     n_nodes, n_nodes)
     n_cand = 1_000_000
-    dec_src = jnp.asarray(rng.integers(0, n_nodes, n_cand)
-                          .astype(np.int32))
-    dec_dst = jnp.asarray(rng.integers(0, n_nodes, n_cand)
-                          .astype(np.int32))
-    labels = jnp.asarray((rng.random(n_cand) < 0.3).astype(np.float32))
+    dec_src = rng.integers(0, n_nodes, n_cand).astype(np.int32)
+    dec_dst = rng.integers(0, n_nodes, n_cand).astype(np.int32)
+    dec_layout = build_scale_decoder_layout(dec_src, dec_dst,
+                                            n_nodes, n_nodes)
+    labels, weights = dec_layout.slot_labels(jnp.asarray(
+        (rng.random(n_cand) < 0.3).astype(np.float32)))
     eye = coo_from_arrays(np.arange(n_nodes), np.arange(n_nodes),
                           np.ones(n_nodes, np.float32), n_nodes, n_nodes)
     model = ModelConfig(
         layers=3, gcn_agg_units=384, gcn_out_units=128,
         src_in_units=d, dst_in_units=d, fdim_drug=d, fdim_disease=d,
-        nhid1=256, nhid2=128, compute_dtype="bfloat16")
+        nhid1=256, nhid2=128, compute_dtype="bfloat16",
+        decoder_backend="pallas")
     cfg = TrainConfig(model=model, beta=0.0,
                       augment=AugmentConfig(methods=()))
     inputs = ModelInputs(
-        enc_graph=graph, dec_src=dec_src, dec_dst=dec_dst,
+        enc_graph=graph, dec_src=jnp.asarray(dec_src),
+        dec_dst=jnp.asarray(dec_dst),
         drug_graph=eye, drug_sim_feat=x, drug_feat=x,
         dis_graph=eye, dis_sim_feat=x, dis_feat=x,
-        drug_feature_graph=None, dis_feature_graph=None)
+        drug_feature_graph=None, dis_feature_graph=None,
+        dec_layout=dec_layout)
     init_state, run_steps, *_ = make_train_fns(model, cfg)
     params = init_params(jax.random.key(0), model)
     state = init_state(params, jax.random.key(1, impl=cfg.rng_impl))
@@ -336,9 +347,11 @@ def bench_scale_config(quick=False):
     # Warm BOTH chain lengths before timing: each static step count is
     # its own compiled program, and a compile landing inside a timed
     # call once produced a 9 s "step" reading in --quick (reps=1) mode.
-    state, losses = run_steps(state, inputs, labels, 1)
+    state, losses = run_steps(state, inputs, labels, 1,
+                              edge_weight=weights)
     float(losses[-1])
-    state, losses = run_steps(state, inputs, labels, n_chain)
+    state, losses = run_steps(state, inputs, labels, n_chain,
+                              edge_weight=weights)
     float(losses[-1])
     log(f"scale step compile+first: {time.perf_counter() - t0:.1f}s")
     t1 = np.inf
@@ -346,11 +359,13 @@ def bench_scale_config(quick=False):
     reps = 1 if quick else 2
     for _ in range(reps):
         t0 = time.perf_counter()
-        state, losses = run_steps(state, inputs, labels, 1)
+        state, losses = run_steps(state, inputs, labels, 1,
+                                  edge_weight=weights)
         float(losses[-1])
         t1 = min(t1, time.perf_counter() - t0)
         t0 = time.perf_counter()
-        state, losses = run_steps(state, inputs, labels, n_chain)
+        state, losses = run_steps(state, inputs, labels, n_chain,
+                                  edge_weight=weights)
         float(losses[-1])
         tn = min(tn, time.perf_counter() - t0)
     out["full_step_ms_10m"] = round((tn - t1) / (n_chain - 1) * 1e3, 1)

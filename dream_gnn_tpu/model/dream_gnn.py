@@ -49,6 +49,11 @@ class ModelInputs:
     dis_feat: jnp.ndarray
     drug_feature_graph: Any = None
     dis_feature_graph: Any = None
+    # Prebuilt ScaleDecoderLayout (kernels/pallas_scale_decoder.py) for
+    # candidate sets over node counts beyond the VMEM fused decoder's
+    # MAX_ONEHOT_NODES; like the reference's dec graph it is static per
+    # fold (data_loader.py:492-509).
+    dec_layout: Any = None
 
 
 def init_params(key, cfg: ModelConfig):
@@ -162,7 +167,14 @@ def forward(params, inputs: ModelInputs, cfg: ModelConfig, *,
                 dtype=jnp.dtype(cfg.compute_dtype))
         return pred, drug_out, drug_sim_out, dis_out, dis_sim_out
 
-    if cfg.decoder_backend == "pallas":
+    if cfg.decoder_backend == "pallas" and inputs.dec_layout is not None:
+        from dream_gnn_tpu.kernels.pallas_scale_decoder import (
+            decoder_apply_scale)
+        pred = decoder_apply_scale(
+            params["decoder"], inputs.dec_layout, drug_feats, dis_feats,
+            dropout_rate=cfg.dropout, train=train, key=dec_key,
+            dtype=jnp.dtype(cfg.compute_dtype))
+    elif cfg.decoder_backend == "pallas":
         from dream_gnn_tpu.kernels.pallas_decoder import decoder_apply_fused
         pred = decoder_apply_fused(
             params["decoder"], inputs.dec_src, inputs.dec_dst,

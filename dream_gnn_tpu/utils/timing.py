@@ -118,6 +118,28 @@ def chained_ms(fn: Callable, x: jnp.ndarray, *, args=(), n: int = 8,
     return ms
 
 
+def scale_decoder_floor_ms(layout, h1: int, train: bool) -> float:
+    """HBM floor (ms) of one scale-decoder FORWARD application
+    (kernels/pallas_scale_decoder.py v3): the XLA small-table buffer
+    gather (table read + buffer write), K2's drug-panel sweep + buffer
+    read + a1 spill (train) + logits + edge ids.  MXU (batched
+    transposes + MLP) is far below the HBM term at H1=128 and not
+    modelled."""
+    from dream_gnn_tpu.graph.grouped import LEAD, SUB
+
+    g = layout.fwd
+    panel_bytes = (int(g.trans_sb.shape[0]) - LEAD) * g.span * SUB \
+        * (h1 // 2) * 4
+    n_pos = int(np.prod(g.val.shape))
+    row = h1 * 2                                # bf16 rows
+    hbm = (layout.n_dis * h1 * 4 + n_pos * row          # buf gather
+           + panel_bytes + n_pos * row                  # K2 + buf read
+           + (n_pos * row if train else 0)              # a1 spill
+           + n_pos * 4                                  # logits
+           + n_pos * 8)                                 # src + edge ids
+    return hbm / HBM_BYTES_PER_S * 1e3
+
+
 def spmm_gather_floor_ms(g, d: int, packed: bool) -> float:
     """HBM + MXU floor (ms) of one grouped-gather SpMM application.
 
