@@ -117,8 +117,8 @@ PACK_PANELS = True
 
 def _spmm_gather_kernel(meta_ref, trans_sb_ref, dst_tile_ref, first_ref,
                         src_ref, dst_ref, val_ref, xt_hbm, out_ref,
-                        panels, sems, rows_sc, *, dtype, group_batch,
-                        packed, span, window):
+                        panels, sems, rows_sc, *extra_sc, dtype,
+                        group_batch, packed, span, window, ablate=None):
     i = pl.program_id(0)
     p0b = p0_bits_for(span)
     shift = p0b + window
@@ -132,6 +132,15 @@ def _spmm_gather_kernel(meta_ref, trans_sb_ref, dst_tile_ref, first_ref,
         # instead of regenerating a (TILE_DST_G, gb*SUB) iota each.
         rows_sc[0] = jax.lax.broadcasted_iota(
             jnp.int32, rows_sc.shape[1:], 0)
+        if ablate == "no_mask":
+            # Fixed (wrong) diagonal-ish mask so the scatter matmul
+            # runs with no per-batch compare/cast (see ablate note in
+            # _spmm_gather_raw).
+            sh = extra_sc[0].shape[1:]
+            extra_sc[0][0] = (
+                jax.lax.broadcasted_iota(jnp.int32, sh, 0)
+                == jax.lax.broadcasted_iota(jnp.int32, sh, 1)
+                % sh[0]).astype(extra_sc[0].dtype)
 
     @pl.when(first_ref[i] == 1)
     def _zero():
@@ -153,6 +162,7 @@ def _spmm_gather_kernel(meta_ref, trans_sb_ref, dst_tile_ref, first_ref,
             panels.at[sl], sems.at[sl])
 
     touch_mask = (1 << window) - 1
+    meta_prev = None
     for b in range(n_batches):
         base = b * gb
         parts = []
@@ -180,8 +190,14 @@ def _spmm_gather_kernel(meta_ref, trans_sb_ref, dst_tile_ref, first_ref,
             # shifts to a negative tid so post-padding groups re-wait);
             # it first issues the DMA for transition tid + LEAD so
             # copies stay LEAD transitions ahead of their consumer.
-            prev_tid = meta_ref[jnp.maximum(gid - 1, 0)] >> shift
-            boundary = (tid != prev_tid) | (gid == 0)
+            # The predecessor's meta is cached from the previous
+            # unrolled iteration — only a chunk's first group rereads
+            # SMEM (the per-group scalar path is a measured ~0.15 us
+            # of the kernel's per-group cost; see docs §4).
+            prev_meta = meta_ref[jnp.maximum(gid - 1, 0)] \
+                if meta_prev is None else meta_prev
+            boundary = (tid != (prev_meta >> shift)) | (gid == 0)
+            meta_prev = meta
 
             @pl.when((meta >= 0) & boundary)
             def _wait(tid=tid, sl=sl):
@@ -226,22 +242,42 @@ def _spmm_gather_kernel(meta_ref, trans_sb_ref, dst_tile_ref, first_ref,
             v = val[base:base + gb].reshape(1, gb * SUB)
             dsts = ids_d[base:base + gb].reshape(1, gb * SUB)
             td = out_ref.shape[1]
-            eq = rows_sc[0] == jnp.broadcast_to(dsts, (td, gb * SUB))
-            if jnp.dtype(dtype) == jnp.float32:
-                # Edge values ride the one-hot mask: the select emits
-                # val_e at the [dst_e, e] element instead of 1.0 — no
-                # separate (d, gb*128) multiply over the messages and
-                # no bool->dtype cast.  f32 only: the i1 of a 32-bit
-                # compare cannot relayout to a 16-bit select's tiling
-                # (Mosaic "Invalid relayout"), so the bf16 path keeps
-                # the classic cast+mul below.
-                m = jnp.where(
-                    eq, jnp.broadcast_to(v, (td, gb * SUB)),
-                    jnp.zeros((), dtype))
-            else:
-                m = eq.astype(dtype)
+            if ablate == "gather_only":
+                # Consume msgs cheaply so the gathers stay live.
+                out_ref[:, 0:1] += jnp.sum(msgs.astype(jnp.float32),
+                                           axis=1, keepdims=True)
+                return
+            if ablate == "no_mask":
+                m = extra_sc[0][0]
                 msgs = msgs * jnp.broadcast_to(
                     v, (d, gb * SUB)).astype(msgs.dtype)
+            else:
+                eq = rows_sc[0] == jnp.broadcast_to(dsts,
+                                                    (td, gb * SUB))
+                if jnp.dtype(dtype) == jnp.float32:
+                    # Edge values ride the one-hot mask: the select
+                    # emits val_e at the [dst_e, e] element instead of
+                    # 1.0 — no separate (d, gb*128) multiply over the
+                    # messages and no bool->dtype cast.  f32 only: the
+                    # i1 of a 32-bit compare cannot relayout to a
+                    # 16-bit select's tiling (Mosaic "Invalid
+                    # relayout"), so the bf16 path keeps the classic
+                    # cast+mul below.
+                    m = jnp.where(
+                        eq, jnp.broadcast_to(v, (td, gb * SUB)),
+                        jnp.zeros((), dtype))
+                else:
+                    m = eq.astype(dtype)
+                    msgs = msgs * jnp.broadcast_to(
+                        v, (d, gb * SUB)).astype(msgs.dtype)
+            if ablate == "no_matmul":
+                # Mask built, matmul skipped; consume both operands.
+                out_ref[:, 0:1] += (
+                    jnp.sum(msgs.astype(jnp.float32), axis=1,
+                            keepdims=True)
+                    + jnp.sum(m.astype(jnp.float32), axis=1,
+                              keepdims=True)[:d])
+                return
             out_ref[:] += jax.lax.dot_general(
                 msgs.astype(dtype), m,
                 dimension_numbers=(((1,), (1,)), ((), ())),
@@ -251,7 +287,15 @@ def _spmm_gather_kernel(meta_ref, trans_sb_ref, dst_tile_ref, first_ref,
 def _spmm_gather_raw(g: GroupedCoo, x: jnp.ndarray,
                      dtype=jnp.bfloat16,
                      group_batch: int | None = None,
-                     packed: bool | None = None) -> jnp.ndarray:
+                     packed: bool | None = None,
+                     _ablate: str | None = None) -> jnp.ndarray:
+    """``_ablate`` is MEASUREMENT-ONLY (scripts/probe_spmm_overlap.py):
+    'gather_only' / 'no_mask' / 'no_matmul' skip real work to isolate
+    the kernel's VPU/MXU phases — outputs are WRONG by design (unlike
+    the round-3 mask16 flag, each mode compiles a genuinely different
+    program; tests pin that the timings differ)."""
+    if _ablate not in (None, "gather_only", "no_mask", "no_matmul"):
+        raise ValueError(f"unknown ablate mode {_ablate!r}")
     gb = GROUP_BATCH if group_batch is None else group_batch
     if GROUPS_PER_CHUNK % gb:
         raise ValueError(f"group_batch {gb} must divide {GROUPS_PER_CHUNK}")
@@ -282,10 +326,17 @@ def _spmm_gather_raw(g: GroupedCoo, x: jnp.ndarray,
     edge_spec = pl.BlockSpec((1, GROUPS_PER_CHUNK, SUB),
                              lambda i, *_: (i, 0, 0),
                              memory_space=pltpu.VMEM)
+    scratch = [
+        pltpu.VMEM((NSLOTS, span, panel_rows, SUB), panel_dtype),
+        pltpu.SemaphoreType.DMA((NSLOTS,)),
+        pltpu.VMEM((1, g.tile_dst, gb * SUB), jnp.int32),
+    ]
+    if _ablate == "no_mask":
+        scratch.append(pltpu.VMEM((1, g.tile_dst, gb * SUB), dtype))
     out_t = pl.pallas_call(
         functools.partial(_spmm_gather_kernel, dtype=dtype,
                           group_batch=gb, packed=packed, span=span,
-                          window=window),
+                          window=window, ablate=_ablate),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,    # meta, trans_sb, dst_tile, first
             grid=(g.n_chunks,),
@@ -297,11 +348,7 @@ def _spmm_gather_raw(g: GroupedCoo, x: jnp.ndarray,
                 (d, g.tile_dst),
                 lambda i, meta, tsb, dt, first: (0, dt[i]),
                 memory_space=pltpu.VMEM),
-            scratch_shapes=[
-                pltpu.VMEM((NSLOTS, span, panel_rows, SUB), panel_dtype),
-                pltpu.SemaphoreType.DMA((NSLOTS,)),
-                pltpu.VMEM((1, g.tile_dst, gb * SUB), jnp.int32),
-            ],
+            scratch_shapes=scratch,
         ),
         out_shape=jax.ShapeDtypeStruct((d, g.n_dst_pad), jnp.float32),
         interpret=INTERPRET,

@@ -219,3 +219,23 @@ def test_grouped_train_step_with_augmentation(rng):
     w = dataset.fold(0).train_w
     state, loss = jax.jit(one_step)(state, g_inputs, labels, w)
     assert np.isfinite(float(loss))
+
+
+def test_ablate_modes_change_the_program(rng):
+    """The measurement-only _ablate modes must compile genuinely
+    different programs (the round-3 advisor flagged a knob that
+    silently measured the identical kernel) — each mode's output is
+    deliberately wrong in a mode-specific way."""
+    src, dst, val = _rand_edges(rng, 600, 700, 3000)
+    x = rng.normal(size=(700, 128)).astype(np.float32)
+    g = grouped_from_arrays(src, dst, val, 700, 600)
+    base = np.asarray(psg._spmm_gather_raw(g, jnp.asarray(x),
+                                           dtype=jnp.float32))
+    outs = {ab: np.asarray(psg._spmm_gather_raw(
+        g, jnp.asarray(x), dtype=jnp.float32, _ablate=ab))
+        for ab in ("gather_only", "no_mask", "no_matmul")}
+    for ab, out in outs.items():
+        assert not np.allclose(out, base), ab
+    assert not np.allclose(outs["gather_only"], outs["no_mask"])
+    with pytest.raises(ValueError):
+        psg._spmm_gather_raw(g, jnp.asarray(x), _ablate="bogus")
