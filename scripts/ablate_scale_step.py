@@ -144,10 +144,20 @@ f_only = fwd_ms(model_for(3))
 print(f"forward only (3 layers, 1M cand)              {f_only:8.1f} ms "
       f"-> bwd+Adam ~ {full - f_only:.1f} ms", flush=True)
 
-# Whole-step accountability vs the bare kernel: each layer runs 4
-# relation SpMMs (2 ratings x 2 dirs) covering all 10M edges once per
-# direction-set; bwd doubles it on the transposed layouts.
-print(f"\nper-layer cost {(full - l1) / 2:.1f} ms vs bare-kernel "
-      f"prediction ~20 ms fwd + ~20 ms bwd across the 4 relation "
-      f"layouts (10M edges each direction; "
-      f"scripts/bench_spmm_gather_variants.py)", flush=True)
+# Whole-step accountability vs the bare kernel (ROUND-4 CORRECTION of
+# the round-3 "17 ms/layer of unattributed glue" claim): the honest
+# per-layer bare prediction is the SUM OF PER-RELATION chained
+# timings, not a pro-rata scaling of the monolithic 10M number —
+# relation splitting has real per-call fixed costs and the 3M
+# rating-1 layout's window-8 geometry is intrinsically slower per
+# edge.  Measured round 4 (chained dispatch): fwd+bwd per relation
+# 30.5 (fwd r0, 7M) + 18.8 (r1, 3M) + 30.3 + 18.8 = 98.5 ms bare sum;
+# an spmm-only 4-relation layer measures 94.1 (XLA CSE of the shared
+# cotangent packs BEATS the isolated sum) and the full gcmc layer
+# (transforms + dropout + fc) 94.7 — transforms add 0.6 ms, not 17.
+# A 6-point (span, window, tile_dst) sweep of the 3M relation found
+# at most 0.6 ms more (window=5/tile=768: 17.37 vs auto's 18.00).
+print(f"\nper-layer cost {(full - l1) / 2:.1f} ms vs honest bare "
+      f"per-relation sum ~98.5 ms fwd+bwd (see round-4 note above; "
+      f"the 4-relation composite measures BELOW the isolated sum)",
+      flush=True)
