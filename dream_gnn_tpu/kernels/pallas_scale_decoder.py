@@ -153,17 +153,23 @@ class ScaleDecoderLayout:
         return lab[self.fwd.edge_id.reshape(-1)], self.fwd.val.reshape(-1)
 
 
-def _stream_layout(node_ids, n_nodes: int, e: int):
+def _stream_layout(node_ids, n_nodes: int, e: int,
+                   rank_pad: int | None = None):
     """Sorted-stream layout: edges ranked by ``node_ids`` order, dst =
     rank with ONE giant dst tile (no chunk quantisation), src = node
     row (window-confined because ranks walk rows monotonically).
     ``edge_id`` is remapped from rank to PHYSICAL candidate index so
-    downstream consumers never see the sort order."""
+    downstream consumers never see the sort order.  ``rank_pad``
+    overrides the rank-space size (>= e) so layouts built on
+    different-length candidate chunks share identical static
+    n_dst/tile_dst — required for leaf-wise stacking across shards
+    (sharding/scale_decoder_spmd.py)."""
     order = np.argsort(node_ids, kind="stable")
-    tile = -(-e // SUB) * SUB
+    tile = -(-(rank_pad or e) // SUB) * SUB
     g = grouped_from_arrays(node_ids[order],
                             np.arange(e, dtype=np.int64),
-                            np.ones(e, np.float32), n_nodes, e,
+                            np.ones(e, np.float32), n_nodes,
+                            rank_pad or e,
                             span=STREAM_SPAN, window=STREAM_WINDOW,
                             tile_dst=tile)
     eid = np.asarray(g.edge_id)          # ranks; e marks padding
@@ -174,16 +180,20 @@ def _stream_layout(node_ids, n_nodes: int, e: int):
 
 
 def build_scale_decoder_layout(dec_src, dec_dst, n_drug: int,
-                               n_dis: int) -> ScaleDecoderLayout:
+                               n_dis: int,
+                               rank_pad: int | None = None,
+                               ) -> ScaleDecoderLayout:
     """Build stream + gradient-scatter layouts for a candidate list
-    (host-side, static per fold)."""
+    (host-side, static per fold).  ``rank_pad``: see
+    ``_stream_layout`` — pass the common chunk size when building
+    per-shard layouts for the SPMD wrapper."""
     dec_src = np.asarray(dec_src, np.int64)
     dec_dst = np.asarray(dec_dst, np.int64)
     e = len(dec_src)
     ones = np.ones(e, np.float32)
 
-    fwd = _stream_layout(dec_src, n_drug, e)       # drug-sorted
-    mirror = _stream_layout(dec_dst, n_dis, e)     # dis-sorted
+    fwd = _stream_layout(dec_src, n_drug, e, rank_pad)   # drug-sorted
+    mirror = _stream_layout(dec_dst, n_dis, e, rank_pad)  # dis-sorted
 
     def slot_of_edge(g):
         flat = np.asarray(g.edge_id).reshape(-1)    # physical ids
