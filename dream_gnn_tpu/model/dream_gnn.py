@@ -168,6 +168,19 @@ def forward(params, inputs: ModelInputs, cfg: ModelConfig, *,
         return pred, drug_out, drug_sim_out, dis_out, dis_sim_out
 
     if cfg.decoder_backend == "pallas" and inputs.dec_layout is not None:
+        from dream_gnn_tpu.sharding.scale_decoder_spmd import (
+            ShardedScaleDecoderLayout, decoder_apply_scale_spmd)
+        if isinstance(inputs.dec_layout, ShardedScaleDecoderLayout):
+            # Candidate-sharded SPMD pipeline (mesh/axis captured at
+            # layout build); pred is (S, n_pos) slot-order, sharded
+            # over the layout's axis.
+            pred = decoder_apply_scale_spmd(
+                params["decoder"], inputs.dec_layout, drug_feats,
+                dis_feats, inputs.dec_layout.mesh,
+                inputs.dec_layout.axis, dropout_rate=cfg.dropout,
+                train=train, key=dec_key,
+                dtype=jnp.dtype(cfg.compute_dtype))
+            return pred, drug_out, drug_sim_out, dis_out, dis_sim_out
         from dream_gnn_tpu.kernels.pallas_scale_decoder import (
             decoder_apply_scale)
         pred = decoder_apply_scale(

@@ -59,6 +59,14 @@ class ShardedScaleDecoderLayout:
     layouts: ScaleDecoderLayout   # leaves (S, ...)
     chunk: int = dataclasses.field(metadata=dict(static=True))
     n_edges_: int = dataclasses.field(metadata=dict(static=True))
+    # Mesh/axis captured at build time (like BipartiteShardedGrouped)
+    # so model-level dispatch (model/dream_gnn.py) can route a
+    # ``dec_layout`` of this type through the SPMD wrapper without a
+    # separate mesh argument.
+    mesh: object = dataclasses.field(default=None,
+                                     metadata=dict(static=True))
+    axis: str | None = dataclasses.field(default=None,
+                                         metadata=dict(static=True))
 
     @property
     def n_shards(self) -> int:
@@ -183,7 +191,7 @@ def build_scale_decoder_layout_sharded(
         shd = NamedSharding(mesh, P(axis))
         layouts = jax.tree.map(lambda a: jax.device_put(a, shd), layouts)
     return ShardedScaleDecoderLayout(layouts=layouts, chunk=chunk,
-                                     n_edges_=e)
+                                     n_edges_=e, mesh=mesh, axis=axis)
 
 
 def scale_decoder_spmd(mesh, axis: str, slay: ShardedScaleDecoderLayout,

@@ -131,3 +131,70 @@ def test_uneven_last_shard_padding_is_inert(setup):
         g = jax.grad(loss)(drug_feat)
         np.testing.assert_allclose(
             np.asarray(g)[untouched], 0.0, atol=1e-6)
+
+
+def test_full_model_sharded_encoder_and_decoder():
+    """FULL dual-route forward with BOTH scale components sharded on
+    one mesh axis — the edge-partitioned encoder (halo exchange) and
+    the candidate-sharded scale decoder (model-level dispatch on the
+    ShardedScaleDecoderLayout carried in ModelInputs.dec_layout) —
+    loss and every parameter gradient pinned against the single-device
+    COO + unsharded-scale-layout path."""
+    import dataclasses as dc
+
+    from dream_gnn_tpu.config import TrainConfig
+    from dream_gnn_tpu.data.loader import DreamDataset
+    from dream_gnn_tpu.data.synthetic import synthetic_raw_data
+    from dream_gnn_tpu.graph.bipartite_coo import build_enc_graph_coo
+    from dream_gnn_tpu.model.dream_gnn import forward, init_params
+    from dream_gnn_tpu.sharding.scale_graph import build_enc_graph_sharded
+    from dream_gnn_tpu.train.loop import derive_model_cfg, fold_inputs
+
+    raw = synthetic_raw_data(n_drug=30, n_dis=22, n_pos=60, seed=5)
+    dataset = DreamDataset(raw, k=3)
+    cfg = TrainConfig()
+    model_cfg = dc.replace(
+        derive_model_cfg(cfg, dataset),
+        layers=2, gcn_agg_units=48, gcn_out_units=16, nhid1=24,
+        nhid2=16, dropout=0.0, attention_dropout=0.0,
+        decoder_backend="pallas")
+    params = init_params(jax.random.key(0), model_cfg)
+    mesh = make_mesh(dp=4, mp=1)
+    inputs, _, labels, _ = fold_inputs(dataset, 0)
+    split = dataset.splits[0]
+    coo = build_enc_graph_coo(split.train_pairs, split.train_values,
+                              dataset.n_drug, dataset.n_dis)
+    sharded = build_enc_graph_sharded(
+        split.train_pairs, split.train_values, dataset.n_drug,
+        dataset.n_dis, mesh, "dp", pad_multiple=8)
+    src = np.asarray(inputs.dec_src)
+    dst = np.asarray(inputs.dec_dst)
+    lay1 = psd.build_scale_decoder_layout(src, dst, dataset.n_drug,
+                                          dataset.n_dis)
+    slay = build_scale_decoder_layout_sharded(
+        src, dst, dataset.n_drug, dataset.n_dis, 4, mesh=mesh,
+        axis="dp")
+    sl1, sw1 = lay1.slot_labels(labels)
+    sl2, sw2 = slay.slot_labels(labels)
+
+    def loss_single(p):
+        pred, *_ = forward(
+            p, dc.replace(inputs, enc_graph=coo, dec_layout=lay1),
+            model_cfg, train=True, key=jax.random.key(3))
+        return jnp.sum(sw1 * (pred - sl1) ** 2)
+
+    def loss_sharded(p):
+        pred, *_ = forward(
+            p, dc.replace(inputs, enc_graph=sharded, dec_layout=slay),
+            model_cfg, train=True, key=jax.random.key(3))
+        return jnp.sum(sw2 * (pred - sl2) ** 2)
+
+    l1, g1 = jax.value_and_grad(loss_single)(params)
+    l2, g2 = jax.jit(jax.value_and_grad(loss_sharded))(params)
+    np.testing.assert_allclose(float(l2), float(l1), rtol=1e-4)
+    flat1, tree1 = jax.tree.flatten(g1)
+    flat2, tree2 = jax.tree.flatten(g2)
+    assert tree1 == tree2
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-4, atol=5e-5)
