@@ -51,56 +51,89 @@ eye = coo_from_arrays(np.arange(n_nodes), np.arange(n_nodes),
                       np.ones(n_nodes, np.float32), n_nodes, n_nodes)
 
 
-def inputs_for(n_cand):
-    dec_src = jnp.asarray(rng.integers(0, n_nodes, n_cand)
-                          .astype(np.int32))
-    dec_dst = jnp.asarray(rng.integers(0, n_nodes, n_cand)
-                          .astype(np.int32))
-    labels = jnp.asarray((rng.random(n_cand) < 0.3).astype(np.float32))
+_layout_cache = {}
+
+
+def inputs_for(n_cand, fused=True):
+    """Scale-config ModelInputs.  ``fused=True`` attaches the round-4
+    streaming scale-decoder layout (kernels/pallas_scale_decoder.py) —
+    the production configuration bench.py times — and returns
+    slot-permuted labels/weights; ``fused=False`` is the XLA decoder
+    fallback for comparison rows."""
+    csrc = rng.integers(0, n_nodes, n_cand).astype(np.int32)
+    cdst = rng.integers(0, n_nodes, n_cand).astype(np.int32)
+    raw_labels = (rng.random(n_cand) < 0.3).astype(np.float32)
+    dec_layout, labels, weights = None, jnp.asarray(raw_labels), None
+    if fused:
+        from dream_gnn_tpu.kernels.pallas_scale_decoder import (
+            build_scale_decoder_layout)
+
+        if n_cand not in _layout_cache:
+            _layout_cache[n_cand] = build_scale_decoder_layout(
+                csrc, cdst, n_nodes, n_nodes)
+        dec_layout = _layout_cache[n_cand]
+        labels, weights = dec_layout.slot_labels(jnp.asarray(raw_labels))
     return ModelInputs(
-        enc_graph=graph, dec_src=dec_src, dec_dst=dec_dst,
+        enc_graph=graph, dec_src=jnp.asarray(csrc),
+        dec_dst=jnp.asarray(cdst),
         drug_graph=eye, drug_sim_feat=x, drug_feat=x,
         dis_graph=eye, dis_sim_feat=x, dis_feat=x,
-        drug_feature_graph=None, dis_feature_graph=None), labels
+        drug_feature_graph=None, dis_feature_graph=None,
+        dec_layout=dec_layout), labels, weights
 
 
-def model_for(layers):
+def model_for(layers, backend="pallas"):
     return ModelConfig(
         layers=layers, gcn_agg_units=384, gcn_out_units=128,
         src_in_units=d, dst_in_units=d, fdim_drug=d, fdim_disease=d,
-        nhid1=256, nhid2=128, compute_dtype="bfloat16")
+        nhid1=256, nhid2=128, compute_dtype="bfloat16",
+        decoder_backend=backend)
 
 
 def step_ms(model, n_cand=1_000_000, n=8):
     cfg = TrainConfig(model=model, beta=0.0,
                       augment=AugmentConfig(methods=()))
-    inputs, labels = inputs_for(n_cand)
+    inputs, labels, weights = inputs_for(
+        n_cand, fused=model.decoder_backend == "pallas")
     init_state, run_steps, *_ = make_train_fns(model, cfg)
     params = init_params(jax.random.key(0), model)
     state = init_state(params, jax.random.key(1, impl=cfg.rng_impl))
-    state, losses = run_steps(state, inputs, labels, 1)
+    state, losses = run_steps(state, inputs, labels, 1,
+                              edge_weight=weights)
     float(losses[-1])
     t1 = tn = np.inf
     for _ in range(2):
         t0 = time.perf_counter()
-        state, losses = run_steps(state, inputs, labels, 1)
+        state, losses = run_steps(state, inputs, labels, 1,
+                                  edge_weight=weights)
         float(losses[-1])
         t1 = min(t1, time.perf_counter() - t0)
         t0 = time.perf_counter()
-        state, losses = run_steps(state, inputs, labels, n)
+        state, losses = run_steps(state, inputs, labels, n,
+                                  edge_weight=weights)
         float(losses[-1])
+        tn = min(tn, time.perf_counter() - t0)
+    return (tn - t1) / (n - 1) * 1e3
+
+
+def _chain_ms(chain, params, inputs, n):
+    float(chain(params, inputs, 1))
+    float(chain(params, inputs, n))
+    t1 = tn = np.inf
+    for _ in range(2):
+        t0 = time.perf_counter()
+        float(chain(params, inputs, 1))
+        t1 = min(t1, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(chain(params, inputs, n))
         tn = min(tn, time.perf_counter() - t0)
     return (tn - t1) / (n - 1) * 1e3
 
 
 def fwd_ms(model, n_cand=1_000_000, n=8):
     """Forward-only (eval) over the train graph — no grad, no Adam."""
-    cfg = TrainConfig(model=model, beta=0.0,
-                      augment=AugmentConfig(methods=()))
-    inputs, labels = inputs_for(n_cand)
-    fns = make_train_fns(model, cfg)
-    init_state = fns[0]
-    evaluate = fns[2]
+    inputs, _, _ = inputs_for(n_cand,
+                              fused=model.decoder_backend == "pallas")
     params = init_params(jax.random.key(0), model)
 
     from dream_gnn_tpu.model.dream_gnn import forward
@@ -118,31 +151,63 @@ def fwd_ms(model, n_cand=1_000_000, n=8):
         return jax.lax.fori_loop(0, n_link, body,
                                  jnp.zeros((), jnp.float32))
 
-    float(chain(params, inputs, 1))
-    float(chain(params, inputs, n))
-    t1 = tn = np.inf
-    for _ in range(2):
-        t0 = time.perf_counter()
-        float(chain(params, inputs, 1))
-        t1 = min(t1, time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        float(chain(params, inputs, n))
-        tn = min(tn, time.perf_counter() - t0)
-    return (tn - t1) / (n - 1) * 1e3
+    return _chain_ms(chain, params, inputs, n)
+
+
+def grad_ms(model, n_cand=1_000_000, n=8):
+    """Forward + FULL backward (loss grad wrt every param), NO Adam —
+    isolates the optimizer + state-update tail of the train step.
+    train=True so the fused decoder saves its a1 residual (the real
+    step's configuration); dropout/augmentation stay off as in
+    step_ms's cfg."""
+    inputs, labels, weights = inputs_for(
+        n_cand, fused=model.decoder_backend == "pallas")
+    params = init_params(jax.random.key(0), model)
+
+    from dream_gnn_tpu.model.dream_gnn import forward
+    from dream_gnn_tpu.train.losses import bce_with_logits
+
+    @jax.jit
+    def chain(p, inp, n_link):
+        def body(_, s):
+            def loss(pp):
+                pred, *_rest = forward(pp, inp, model, train=True,
+                                       key=jax.random.key(7))
+                return bce_with_logits(pred.reshape(-1), labels,
+                                       weight=weights)
+
+            val, grads = jax.value_and_grad(loss)(
+                jax.tree.map(lambda a: a + s * 1e-30, p))
+            tr = sum(jnp.sum(g).astype(jnp.float32) * 0.0
+                     for g in jax.tree.leaves(grads))
+            return val.astype(jnp.float32) + tr
+        return jax.lax.fori_loop(0, n_link, body,
+                                 jnp.zeros((), jnp.float32))
+
+    return _chain_ms(chain, params, inputs, n)
 
 
 full = step_ms(model_for(3))
-print(f"full step (3 layers, 1M cand, fwd+bwd+Adam)   {full:8.1f} ms",
+print(f"full step (3 layers, 1M cand, FUSED decoder)  {full:8.1f} ms",
+      flush=True)
+xla_full = step_ms(model_for(3, backend="xla"))
+print(f"full step, XLA decoder (round-3 config)       {xla_full:8.1f} ms "
+      f"-> fused scale decoder saves {xla_full - full:.1f} ms",
       flush=True)
 l1 = step_ms(model_for(1))
 print(f"1 GCMC layer                                  {l1:8.1f} ms "
       f"-> per extra layer {(full - l1) / 2:.1f} ms", flush=True)
 tiny_dec = step_ms(model_for(3), n_cand=8192)
-print(f"3 layers, 8k candidates                       {tiny_dec:8.1f} ms "
-      f"-> 1M-cand decoder ~ {full - tiny_dec:.1f} ms", flush=True)
+print(f"3 layers, 8k candidates (fused)               {tiny_dec:8.1f} ms "
+      f"-> 1M-cand fused decoder ~ {full - tiny_dec:.1f} ms",
+      flush=True)
+g_only = grad_ms(model_for(3))
+print(f"fwd+bwd, no Adam (bce loss, train mode)       {g_only:8.1f} ms "
+      f"-> Adam + state update ~ {full - g_only:.1f} ms", flush=True)
 f_only = fwd_ms(model_for(3))
-print(f"forward only (3 layers, 1M cand)              {f_only:8.1f} ms "
-      f"-> bwd+Adam ~ {full - f_only:.1f} ms", flush=True)
+print(f"forward only (eval mode, no dropout)          {f_only:8.1f} ms "
+      f"-> bwd ~ {g_only - f_only:.1f} ms (incl. dropout remat)",
+      flush=True)
 
 # Whole-step accountability vs the bare kernel (ROUND-4 CORRECTION of
 # the round-3 "17 ms/layer of unattributed glue" claim): the honest
