@@ -322,6 +322,45 @@ def bench_scale_config(quick=False):
                                             n_nodes, n_nodes)
     labels, weights = dec_layout.slot_labels(jnp.asarray(
         (rng.random(n_cand) < 0.3).astype(np.float32)))
+
+    # Isolated scale-decoder kernel (round 4): fwd+bwd over the
+    # 1M-candidate layout with dropout active, floor-guarded and
+    # tracked per round.  grad over EVERY operand so XLA cannot DCE
+    # the mirror/scatter chains (they produce d_proj_dis).
+    from dream_gnn_tpu.kernels.pallas_scale_decoder import scale_decoder
+    from dream_gnn_tpu.nn.decoder import decoder_init
+    from dream_gnn_tpu.utils.timing import scale_decoder_floor_ms
+
+    drng = np.random.default_rng(42)
+    dpar = decoder_init(jax.random.key(5), in_units=d)
+    pd_t = jnp.asarray(drng.normal(size=(n_nodes, d)).astype(np.float32))
+    pv_t = jnp.asarray(drng.normal(size=(n_nodes, d)).astype(np.float32))
+    dseed = jnp.asarray([123], jnp.int32)
+    w3v, b3v = dpar["w3"][:, 0], dpar["b3"]
+    floor_d = scale_decoder_floor_ms(dec_layout, d, train=True)
+    floor_dfb = (floor_d + 2 * d * dec_layout.n_pos * 2 / 819e9 * 1e3
+                 + spmm_gather_floor_ms(dec_layout.scat_drug, d,
+                                        packed=True)
+                 + spmm_gather_floor_ms(dec_layout.scat_dis, d,
+                                        packed=True))
+
+    def dec_fb(pd_, lay, pv_):
+        def loss(q, pv2, b1_, w2_, b2_, w3_, b3_):
+            p = scale_decoder(0.3, True, jnp.bfloat16, lay, q, pv2,
+                              b1_, w2_, b2_, w3_, b3_, dseed)
+            return jnp.sum(weights * (p - labels) ** 2)
+        g = jax.grad(loss, argnums=(0, 1, 2, 3, 4, 5, 6))(
+            pd_, pv_, dpar["b1"], dpar["w2"], dpar["b2"], w3v, b3v)
+        return g[0]
+
+    out["scale_decoder_fwd_bwd_ms_1m"] = round(chained_ms(
+        dec_fb, pd_t, args=(dec_layout, pv_t), n=6, reps=1 if quick
+        else 2, floor_ms=floor_dfb, name="scale-dec fwd+bwd"), 2)
+    out["scale_decoder_floor_ms"] = round(floor_dfb, 2)
+    out["scale_decoder_floor_fraction"] = round(
+        floor_dfb / out["scale_decoder_fwd_bwd_ms_1m"], 3)
+    log(f"scale decoder fwd+bwd: {out['scale_decoder_fwd_bwd_ms_1m']} ms"
+        f" (floor {out['scale_decoder_floor_ms']})")
     eye = coo_from_arrays(np.arange(n_nodes), np.arange(n_nodes),
                           np.ones(n_nodes, np.float32), n_nodes, n_nodes)
     model = ModelConfig(
