@@ -174,6 +174,13 @@ def forward(params, inputs: ModelInputs, cfg: ModelConfig, *,
             # Candidate-sharded SPMD pipeline (mesh/axis captured at
             # layout build); pred is (S, n_pos) slot-order, sharded
             # over the layout's axis.
+            if inputs.dec_layout.mesh is None or inputs.dec_layout.axis is None:
+                raise ValueError(
+                    "ShardedScaleDecoderLayout routed through the model "
+                    "needs mesh+axis captured at build time — pass "
+                    "mesh=/axis= to build_scale_decoder_layout_sharded "
+                    "(a mesh-less layout only works with the explicit "
+                    "decoder_apply_scale_spmd(..., mesh, axis) call)")
             pred = decoder_apply_scale_spmd(
                 params["decoder"], inputs.dec_layout, drug_feats,
                 dis_feats, inputs.dec_layout.mesh,

@@ -129,6 +129,14 @@ def build_scale_decoder_layout_sharded(
     if e < n_shards:
         raise ValueError(f"{e} candidates < {n_shards} shards")
     chunk = -(-e // n_shards)
+    # Ceil-chunking can strand a shard with ZERO candidates even when
+    # e >= n_shards (e=5, n_shards=4 -> chunks 2,2,1,0), and an empty
+    # chunk crashes deep inside _stream_layout.  Reject it up front.
+    if (n_shards - 1) * chunk >= e:
+        raise ValueError(
+            f"ceil-chunking {e} candidates over {n_shards} shards leaves "
+            f"the last shard empty (chunk={chunk}); use fewer shards "
+            f"(need e > (n_shards-1)*ceil(e/n_shards))")
 
     per, e_locs = [], []
     for s in range(n_shards):

@@ -60,18 +60,26 @@ def inputs_for(n_cand, fused=True):
     the production configuration bench.py times — and returns
     slot-permuted labels/weights; ``fused=False`` is the XLA decoder
     fallback for comparison rows."""
-    csrc = rng.integers(0, n_nodes, n_cand).astype(np.int32)
-    cdst = rng.integers(0, n_nodes, n_cand).astype(np.int32)
-    raw_labels = (rng.random(n_cand) < 0.3).astype(np.float32)
-    dec_layout, labels, weights = None, jnp.asarray(raw_labels), None
+    # Cache the CANDIDATE DRAW together with the layout: a layout built
+    # from one draw must never be paired with a fresh draw's labels
+    # (slot_labels permutes by the layout's stream order, and
+    # ModelInputs.dec_src/dec_dst must match dec_layout).
+    if n_cand not in _layout_cache:
+        r = np.random.default_rng(4200 + n_cand)
+        _layout_cache[n_cand] = (
+            r.integers(0, n_nodes, n_cand).astype(np.int32),
+            r.integers(0, n_nodes, n_cand).astype(np.int32),
+            (r.random(n_cand) < 0.3).astype(np.float32), None)
+    csrc, cdst, raw_labels, dec_layout = _layout_cache[n_cand]
+    labels, weights = jnp.asarray(raw_labels), None
     if fused:
         from dream_gnn_tpu.kernels.pallas_scale_decoder import (
             build_scale_decoder_layout)
 
-        if n_cand not in _layout_cache:
-            _layout_cache[n_cand] = build_scale_decoder_layout(
+        if dec_layout is None:
+            dec_layout = build_scale_decoder_layout(
                 csrc, cdst, n_nodes, n_nodes)
-        dec_layout = _layout_cache[n_cand]
+            _layout_cache[n_cand] = (csrc, cdst, raw_labels, dec_layout)
         labels, weights = dec_layout.slot_labels(jnp.asarray(raw_labels))
     return ModelInputs(
         enc_graph=graph, dec_src=jnp.asarray(csrc),

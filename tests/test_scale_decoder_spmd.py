@@ -109,6 +109,15 @@ def test_grads_match_single_device_with_dropout(setup):
                                    rtol=2e-4, atol=2e-4)
 
 
+def test_empty_last_shard_rejected():
+    """e=5 over 4 shards ceil-chunks to 2,2,1,0 — the guard must raise
+    a clear ValueError up front instead of an obscure IndexError deep
+    inside _stream_layout (advisor r4 medium)."""
+    with pytest.raises(ValueError, match="last shard empty"):
+        build_scale_decoder_layout_sharded(
+            np.arange(5), np.arange(5), 10, 10, n_shards=4)
+
+
 @pytest.mark.slow
 def test_uneven_last_shard_padding_is_inert(setup):
     """The last shard owns 1021 - 3*256 = 253 live candidates; its
