@@ -1,0 +1,284 @@
+"""Slab-streamed COO layout for the v3 gather SpMM kernel.
+
+Round-4 measurement (docs/kernels.md §4, scripts/probe_spmm_overlap.py)
+pinned the grouped-gather kernel's binding term: ~0.15 us of fixed
+per-group cost x 85k groups — scalar meta decode, the per-group DMA
+boundary ``pl.when``, and panel-ring bookkeeping — NOT the gather
+dataflow itself (adding a whole window step measured ~3.6 ns/group,
+so the VPU retires several ops/cycle through the select tree).  The
+verdict's called-for re-architecture is therefore about deleting the
+per-group machinery, not about scheduling:
+
+- **Dst-slab outer loop.**  The dst axis splits into SLABS of
+  ``k`` tiles; one slab's output (k, d, tile) stays VMEM-resident (the
+  Pallas out block) while ALL of x streams past it once.  Total panel
+  traffic collapses from n_dst_tiles passes over x (5.0 GB at the 10M
+  config) to n_slabs passes (~0.6 GB) — and, decoupled from DMA,
+  ``tile`` can drop to 256, halving the scatter matmul's MAC floor
+  (the one term that was AT its roofline).
+- **Chunk-aligned panel transitions.**  Src superblocks are big
+  (``span``=128 sub-tiles, 4 MB packed) and blocks pad to whole
+  chunks, so a panel transition only ever happens at a chunk start:
+  ~100 transitions total instead of ~38k, handled by ONE ``pl.when``
+  per chunk.  Per-slot schedule is a single packed int (ring slot |
+  p0) — no per-group branches, no per-group transition decode.
+- **Slot geometry unchanged** where it was already right: <=128-edge
+  slots whose sources span <= ``window`` consecutive 128-row sub-tiles
+  (one hardware ``dynamic_gather`` per window sub-tile, select-tree
+  merged), destinations inside one ``tile``-row dst tile, scatter via
+  a one-hot MXU matmul per chunk.
+
+Stream order: slab -> superblock -> dst tile (within slab) -> slots.
+Every (superblock, dst-tile) BLOCK's slots pad to a multiple of
+``cs`` (slots per chunk) so chunks never straddle a block; a chunk is
+one scatter batch (all edges share the dst tile, all sources sit in
+the resident panel).
+
+Replaces DGL's C++ ``update_all(copy_u, sum)`` SpMM
+(/root/reference/layers.py:229-232) at scales the reference never
+reaches; supersedes graph/grouped.py as the single-device scale path
+(the grouped layout remains for the edge-partitioned / ring SPMD
+paths, whose per-shard sub-blocks are too small to amortise slabs).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SUB = 128                 # src rows per hardware gather (one vreg of lanes)
+NSLOTS_V3 = 2             # resident panel ring depth (pow2)
+LEAD_V3 = 1               # panel DMA issued LEAD transitions ahead
+TILE_V3 = 256             # default dst rows per scatter tile
+SPAN_V3 = 128             # default src sub-tiles per panel (16384 rows)
+CS_V3 = 8                 # slots per chunk (= scatter batch width / 128)
+SLAB_TILES_V3 = 16        # dst tiles per resident slab
+
+
+def auto_geometry(n_live: int, n_src: int, n_dst: int):
+    """Density-adaptive (tile, span, window) for a slabbed layout.
+
+    A 128-edge slot spans ~128 / (density*SUB*tile) consecutive src
+    sub-tiles, so sparser graphs need wider windows or taller tiles.
+    Prefer the smallest tile (scatter MACs are proportional to tile)
+    whose window stays <= 8 — beyond that the select tree's VPU cost
+    and slot-cut losses outgrow the MAC savings.  ``span`` is fixed at
+    128 sub-tiles (4 MB packed panel; ring of 2 fits VMEM next to the
+    slab block) — unlike the grouped layout, span no longer trades
+    against anything: transitions are chunk-aligned and ~free.
+    """
+    density = n_live / max(float(n_src) * float(n_dst), 1.0)
+    for tile in (256, 512, 1024):
+        exp_per_subtile = density * SUB * tile
+        window = int(np.ceil(180.0 / max(exp_per_subtile, 1e-12)))
+        if window <= 8:
+            break
+    return tile, SPAN_V3, int(np.clip(window, 3, 8))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SlabbedCoo:
+    src_local: jnp.ndarray   # (C, cs, 128) int32 in [0, span * SUB)
+    dst_local: jnp.ndarray   # (C, cs, 128) int32 in [0, tile)
+    val: jnp.ndarray         # (C, cs, 128) float32, 0 = padding
+    edge_id: jnp.ndarray     # (C, cs, 128) int32 physical edge index
+    #                          (padding slots get n_live) — shared
+    #                          between a pair's fwd/bwd layouts so
+    #                          per-edge PRF masks stay consistent.
+    slot_meta: jnp.ndarray   # (C * cs,) int32: (ring_slot << 8) | p0
+    #                          (flat: >2048-row 2-D SMEM refs crash the
+    #                          Mosaic backend; see kernels/pallas_spmm_slab)
+    c_dt: jnp.ndarray        # (C,) int32 — dst tile index WITHIN slab
+    c_slab: jnp.ndarray      # (C,) int32 — slab id (out block index)
+    c_first: jnp.ndarray     # (C,) int32 — 1 on each slab's first chunk
+    c_live: jnp.ndarray      # (C,) int32 — 0 only on empty-slab stubs
+    c_wait: jnp.ndarray      # (C,) int32 — transition id whose panel
+    #                          this chunk must wait for, else -1
+    trans_sb: jnp.ndarray    # (T + LEAD,) int32 superblock per
+    #                          transition, -1 beyond the last
+    n_src: int = dataclasses.field(metadata=dict(static=True))
+    n_dst: int = dataclasses.field(metadata=dict(static=True))
+    tile: int = dataclasses.field(metadata=dict(static=True))
+    span: int = dataclasses.field(metadata=dict(static=True))
+    window: int = dataclasses.field(metadata=dict(static=True))
+    k: int = dataclasses.field(metadata=dict(static=True))
+    n_live: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def cs(self) -> int:
+        return self.src_local.shape[1]
+
+    @property
+    def n_chunks(self) -> int:
+        return self.src_local.shape[0]
+
+    @property
+    def n_sb(self) -> int:
+        blk = self.span * SUB
+        return -(-self.n_src // blk)
+
+    @property
+    def n_src_pad(self) -> int:
+        return self.n_sb * self.span * SUB
+
+    @property
+    def n_slabs(self) -> int:
+        return -(-(-(-self.n_dst // self.tile)) // self.k)
+
+    @property
+    def n_tiles_pad(self) -> int:
+        return self.n_slabs * self.k
+
+    @property
+    def n_dst_pad(self) -> int:
+        return self.n_tiles_pad * self.tile
+
+    @property
+    def occupancy(self) -> float:
+        return self.n_live / max(self.val.size, 1)
+
+
+def slabbed_from_arrays(src, dst, val, n_src: int, n_dst: int,
+                        tile: int | None = None,
+                        span: int | None = None,
+                        window: int | None = None,
+                        cs: int = CS_V3,
+                        k: int = SLAB_TILES_V3) -> SlabbedCoo:
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+    val = np.asarray(val, np.float32)
+    live = val != 0
+    src, dst, val = src[live], dst[live], val[live]
+    phys = np.arange(len(src), dtype=np.int64)
+
+    a_tile, a_span, a_window = auto_geometry(len(src), n_src, n_dst)
+    tile = a_tile if tile is None else tile
+    span = a_span if span is None else span
+    window = a_window if window is None else window
+    window = min(window, span)
+    if span > 128:
+        raise ValueError("span > 128 overflows the 8-bit packed p0")
+
+    st = src // SUB                       # global src sub-tile
+    sb = st // span                       # superblock (panel) id
+    dt = dst // tile                      # global dst tile
+    slab = dt // k
+    order = np.lexsort((st, dt, sb, slab))
+    src, dst, val, st, sb, dt, slab, phys = (
+        src[order], dst[order], val[order], st[order], sb[order],
+        dt[order], slab[order], phys[order])
+    n = len(src)
+
+    # Block starts: (slab, sb, dt) changes.
+    key = (slab * (1 << 40)) + (sb * (1 << 20)) + dt
+    new_block = np.concatenate([[True], key[1:] != key[:-1]]) \
+        if n else np.zeros((0,), bool)
+    block_starts = np.nonzero(new_block)[0]
+    block_bounds = list(zip(block_starts,
+                            np.concatenate([block_starts[1:], [n]])))
+
+    # Cut each block into <=128-edge window-capped slots, then pad the
+    # block's slot count to a multiple of cs (chunks never straddle).
+    n_slabs = max(-(-(-(-n_dst // tile)) // k), 1)
+    chunks = []          # (slab, sb_or_-1, dt_local, [(a, b) slots])
+    for b0, b1 in block_bounds:
+        sts = st[b0:b1]
+        slots = []
+        i = b0
+        while i < b1:
+            j = min(i + SUB, b1)
+            jw = b0 + np.searchsorted(sts, st[i] + window, side="left")
+            slots.append((i, min(j, int(jw))))
+            i = slots[-1][1]
+        while len(slots) % cs:
+            slots.append((b1, b1))       # padding slot
+        s, b, t = int(slab[b0]), int(sb[b0]), int(dt[b0] % k)
+        for off in range(0, len(slots), cs):
+            chunks.append((s, b, t, slots[off:off + cs]))
+
+    # Empty slabs still need one stub chunk so their out block gets
+    # zeroed (Pallas only writes blocks the index map visits).
+    covered = {c[0] for c in chunks}
+    for s in range(n_slabs):
+        if s not in covered:
+            chunks.append((s, -1, 0, [(0, 0)] * cs))
+    chunks.sort(key=lambda c: (c[0], c[1], c[2]))
+
+    c = len(chunks)
+    g_src = np.zeros((c, cs, SUB), np.int32)
+    g_dst = np.zeros((c, cs, SUB), np.int32)
+    g_val = np.zeros((c, cs, SUB), np.float32)
+    g_eid = np.full((c, cs, SUB), n, np.int32)
+    meta = np.zeros((c, cs), np.int32)
+    c_dt = np.zeros((c,), np.int32)
+    c_slab = np.zeros((c,), np.int32)
+    c_first = np.zeros((c,), np.int32)
+    c_live = np.zeros((c,), np.int32)
+    c_wait = np.full((c,), -1, np.int32)
+    trans_sb = []
+
+    span_sub = span * SUB
+    prev_panel = None     # (slab, sb) of the panel the stream holds
+    prev_slab = None
+    for ci, (s, b, t, slots) in enumerate(chunks):
+        c_dt[ci] = t
+        c_slab[ci] = s
+        if s != prev_slab:
+            c_first[ci] = 1
+            prev_slab = s
+        if b < 0:
+            continue                       # empty-slab stub
+        c_live[ci] = 1
+        if (s, b) != prev_panel:
+            trans_sb.append(b)
+            c_wait[ci] = len(trans_sb) - 1
+            prev_panel = (s, b)
+        sl = (len(trans_sb) - 1) & (NSLOTS_V3 - 1)
+        for gj, (a, e) in enumerate(slots):
+            m = e - a
+            p0 = 0
+            if m:
+                g_src[ci, gj, :m] = src[a:e] % span_sub
+                g_dst[ci, gj, :m] = dst[a:e] % tile
+                g_val[ci, gj, :m] = val[a:e]
+                g_eid[ci, gj, :m] = phys[a:e]
+                p0 = min(int(st[a] - b * span), span - window)
+            # Padding slots inherit the section's ring slot (their
+            # panel is resident and finite; val=0 nullifies).
+            meta[ci, gj] = (sl << 8) | p0
+
+    trans_arr = np.concatenate([
+        np.asarray(trans_sb, np.int32) if trans_sb
+        else np.zeros((0,), np.int32),
+        np.full((LEAD_V3,), -1, np.int32)])
+
+    return SlabbedCoo(
+        src_local=jnp.asarray(g_src), dst_local=jnp.asarray(g_dst),
+        val=jnp.asarray(g_val), edge_id=jnp.asarray(g_eid),
+        slot_meta=jnp.asarray(meta.reshape(-1)), c_dt=jnp.asarray(c_dt),
+        c_slab=jnp.asarray(c_slab), c_first=jnp.asarray(c_first),
+        c_live=jnp.asarray(c_live), c_wait=jnp.asarray(c_wait),
+        trans_sb=jnp.asarray(trans_arr), n_src=n_src, n_dst=n_dst,
+        tile=tile, span=span, window=window, k=k, n_live=int(n))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SlabbedCooPair:
+    fwd: SlabbedCoo
+    bwd: SlabbedCoo
+
+
+def slabbed_pair_from_arrays(src, dst, val, n_src: int, n_dst: int,
+                             tile: int | None = None,
+                             span: int | None = None,
+                             window: int | None = None) -> SlabbedCooPair:
+    return SlabbedCooPair(
+        fwd=slabbed_from_arrays(src, dst, val, n_src, n_dst, tile=tile,
+                                span=span, window=window),
+        bwd=slabbed_from_arrays(dst, src, val, n_dst, n_src, tile=tile,
+                                span=span, window=window))
