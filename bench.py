@@ -257,15 +257,15 @@ def bench_scale_config(quick=False):
 
     from dream_gnn_tpu.config import AugmentConfig, ModelConfig, TrainConfig
     from dream_gnn_tpu.graph.coo import coo_from_arrays
-    from dream_gnn_tpu.graph.grouped import (build_enc_graph_grouped,
-                                             grouped_pair_from_arrays)
+    from dream_gnn_tpu.graph.slabbed import (build_enc_graph_slabbed,
+                                             slabbed_pair_from_arrays)
     from dream_gnn_tpu.model.dream_gnn import ModelInputs, init_params
     from dream_gnn_tpu.train.step import make_train_fns
     from dream_gnn_tpu.utils.timing import (chained_ms,
-                                            spmm_gather_floor_ms)
-    import dream_gnn_tpu.kernels.pallas_spmm_gather as psg
+                                            spmm_slab_floor_ms)
+    import dream_gnn_tpu.kernels.pallas_spmm_slab as pss
 
-    out = {}
+    out = {"spmm_kernel": "slab_v3"}
     n_nodes = 100_000
     n_edges = 10_000_000
     d = 128
@@ -275,26 +275,28 @@ def bench_scale_config(quick=False):
     val = rng.random(n_edges).astype(np.float32) + 0.5
     x = jnp.asarray(rng.normal(size=(n_nodes, d)).astype(np.float32))
 
-    # Bare kernel, production layout defaults.  Every scale metric
-    # carries its physical floor (HBM/MXU bound for the layout) and
-    # the achieved fraction of it, so the bench tracks
-    # distance-to-light-speed across rounds (VERDICT r3 #8).
+    # Bare kernel, production layout defaults (round 5: the
+    # slab-streamed v3 kernel replaced the grouped-gather path —
+    # docs/kernels.md §4b).  Every scale metric carries its physical
+    # floor (HBM/MXU bound for the layout) and the achieved fraction,
+    # so the bench tracks distance-to-light-speed across rounds.
     t0 = time.perf_counter()
-    pair = grouped_pair_from_arrays(src, dst, val, n_nodes, n_nodes)
-    log(f"scale: grouped layout built in {time.perf_counter() - t0:.1f}s "
-        f"(occ={pair.fwd.occupancy:.3f})")
-    floor_f = spmm_gather_floor_ms(pair.fwd, d, packed=True)
+    pair = slabbed_pair_from_arrays(src, dst, val, n_nodes, n_nodes)
+    log(f"scale: slabbed layout built in {time.perf_counter() - t0:.1f}s "
+        f"(occ={pair.fwd.occupancy:.3f}, tile={pair.fwd.tile}, "
+        f"window={pair.fwd.window})")
+    floor_f = spmm_slab_floor_ms(pair.fwd, d, packed=True)
     out["spmm_fwd_ms_10m"] = round(chained_ms(
-        lambda x, gr: psg._spmm_gather_raw(gr.fwd, x),
+        lambda x, gr: pss._spmm_slab_raw(gr.fwd, x),
         x, args=(pair,), n=6, reps=2, floor_ms=floor_f,
         name="spmm fwd"), 2)
     out["spmm_fwd_floor_ms"] = round(floor_f, 2)
     out["spmm_fwd_floor_fraction"] = round(
         floor_f / out["spmm_fwd_ms_10m"], 3)
-    floor_fb = floor_f + spmm_gather_floor_ms(pair.bwd, d, packed=True)
+    floor_fb = floor_f + spmm_slab_floor_ms(pair.bwd, d, packed=True)
     out["spmm_fwd_bwd_ms_10m"] = round(chained_ms(
         lambda x, gr: jax.grad(
-            lambda y: jnp.sum(psg.spmm_gather(gr, y) ** 2))(x),
+            lambda y: jnp.sum(pss.spmm_slab(gr, y) ** 2))(x),
         x, args=(pair,), n=4, reps=2, floor_ms=floor_fb,
         name="spmm fwd+bwd"), 2)
     out["spmm_fwd_bwd_floor_ms"] = round(floor_fb, 2)
@@ -313,7 +315,7 @@ def bench_scale_config(quick=False):
         build_scale_decoder_layout)
 
     vals01 = (rng.random(n_edges) < 0.3).astype(np.float32)
-    graph = build_enc_graph_grouped(np.stack([src, dst]), vals01,
+    graph = build_enc_graph_slabbed(np.stack([src, dst]), vals01,
                                     n_nodes, n_nodes)
     n_cand = 1_000_000
     dec_src = rng.integers(0, n_nodes, n_cand).astype(np.int32)
@@ -329,7 +331,8 @@ def bench_scale_config(quick=False):
     # the mirror/scatter chains (they produce d_proj_dis).
     from dream_gnn_tpu.kernels.pallas_scale_decoder import scale_decoder
     from dream_gnn_tpu.nn.decoder import decoder_init
-    from dream_gnn_tpu.utils.timing import scale_decoder_floor_ms
+    from dream_gnn_tpu.utils.timing import (scale_decoder_floor_ms,
+                                            spmm_gather_floor_ms)
 
     drng = np.random.default_rng(42)
     dpar = decoder_init(jax.random.key(5), in_units=d)
@@ -413,8 +416,8 @@ def bench_scale_config(quick=False):
     # (decoder/FGCN/optimizer floors are comparatively negligible and
     # not modelled — the fraction is therefore slightly optimistic).
     step_floor = model.layers * sum(
-        spmm_gather_floor_ms(p.fwd, d, packed=True)
-        + spmm_gather_floor_ms(p.bwd, d, packed=True)
+        spmm_slab_floor_ms(p.fwd, d, packed=True)
+        + spmm_slab_floor_ms(p.bwd, d, packed=True)
         for p in (*graph.fwd, *graph.rev))
     out["full_step_spmm_floor_ms"] = round(step_floor, 1)
     out["full_step_floor_fraction"] = round(

@@ -211,6 +211,7 @@ def augment_inputs(key, inputs, cfg: AugmentConfig, num_ratings: int = 2):
     for method in cfg.methods:
         if method == "edge_dropout":
             from dream_gnn_tpu.graph.grouped import BipartiteGrouped
+            from dream_gnn_tpu.graph.slabbed import BipartiteSlabbed
             from dream_gnn_tpu.sharding.scale_graph import (
                 BipartiteSharded, BipartiteShardedGrouped)
 
@@ -220,7 +221,8 @@ def augment_inputs(key, inputs, cfg: AugmentConfig, num_ratings: int = 2):
                     inputs.enc_graph.n_dis, num_ratings,
                     cfg.edge_dropout_rate)
             elif isinstance(inputs.enc_graph,
-                            (BipartiteGrouped, BipartiteShardedGrouped)):
+                            (BipartiteGrouped, BipartiteShardedGrouped,
+                             BipartiteSlabbed)):
                 edge_masks = edge_dropout_masks_grouped(
                     keys[next(ki)], inputs.enc_graph,
                     cfg.edge_dropout_rate)

@@ -83,6 +83,33 @@ def p0_bits_for(span: int) -> int:
     return (span - 1).bit_length()
 
 
+def auto_gpc(n_live: int, n_dst: int, tile_dst: int = TILE_DST_G) -> int:
+    """Groups-per-chunk for a layout's size (VERDICT r4 #3).
+
+    Chunk-slot padding — each dst tile's group list padding to a
+    GROUPS_PER_CHUNK multiple — is what collapses occupancy on SMALL
+    layouts: a ring sub-block at S=16 (39k edges, 13 dst tiles,
+    ~23.5 live slots per tile) pads 23.5 -> 32 under gpc=16
+    (occ 0.73, +25% scatter MACs); gpc=8 pads to 24 (occ ~0.92).
+    Full-scale layouts (hundreds of slots per tile) keep 16 — the
+    measured scatter-batch optimum (docs/kernels.md §4).  The kernel
+    reads gpc from the layout shape, so mixed-gpc layouts coexist.
+    """
+    n_tiles = max(-(-n_dst // tile_dst), 1)
+    est_slots_per_tile = n_live / n_tiles / (SUB * 0.9)
+    # Keep expected chunk padding under ~8% of the tile's slots
+    # (pad ~ gpc/2 per tile): measured at the S=16 ring sub-block
+    # (est ~26 slots/tile), gpc=8 still lost 25% to padding while
+    # gpc=4 landed occ 0.857 with identical kernel output.
+    if est_slots_per_tile >= 96:
+        return 16
+    if est_slots_per_tile >= 48:
+        return 8
+    if est_slots_per_tile >= 12:
+        return 4
+    return 2
+
+
 def auto_span_window(n_live: int, n_src: int, n_dst: int,
                      tile_dst: int = TILE_DST_G):
     """Density-adaptive (span, window) for a layout.
@@ -171,7 +198,8 @@ def grouped_from_arrays(src, dst, val, n_src: int, n_dst: int,
                         span: int | None = None,
                         window: int | None = None,
                         use_native: bool = True,
-                        tile_dst: int = TILE_DST_G) -> GroupedCoo:
+                        tile_dst: int = TILE_DST_G,
+                        gpc: int | None = None) -> GroupedCoo:
     src = np.asarray(src, np.int64)
     dst = np.asarray(dst, np.int64)
     val = np.asarray(val, np.float32)
@@ -181,6 +209,10 @@ def grouped_from_arrays(src, dst, val, n_src: int, n_dst: int,
         span = a_span if span is None else span
         window = a_window if window is None else window
     window = min(window, span)
+    # gpc defaults to the module constant (NOT auto_gpc): the scale
+    # decoder's stream kernels bake GROUPS_PER_CHUNK into their grid
+    # maths — small-layout callers (ring sub-blocks) opt in explicitly.
+    gpc = GROUPS_PER_CHUNK if gpc is None else gpc
     p0b = p0_bits_for(span)
     shift = p0b + window
 
@@ -190,7 +222,7 @@ def grouped_from_arrays(src, dst, val, n_src: int, n_dst: int,
     from dream_gnn_tpu.graph import native as _native
     built = _native.build_grouped_native(src, dst, val, n_src, n_dst,
                                          SUB, tile_dst,
-                                         GROUPS_PER_CHUNK, span, window,
+                                         gpc, span, window,
                                          LEAD) \
         if use_native else None
     if built is not None:
@@ -239,7 +271,7 @@ def grouped_from_arrays(src, dst, val, n_src: int, n_dst: int,
     starts = np.asarray(starts, np.int64)
     ends = np.asarray(ends, np.int64)
 
-    # Groups -> chunks by dst tile (GROUPS_PER_CHUNK per chunk).
+    # Groups -> chunks by dst tile (gpc per chunk).
     n_dst_tiles = -(-n_dst // tile_dst)
     groups_by_tile = {t: [] for t in range(n_dst_tiles)}
     for gi in range(len(starts)):
@@ -251,19 +283,19 @@ def grouped_from_arrays(src, dst, val, n_src: int, n_dst: int,
         if not gs:
             chunks.append((t, []))
             continue
-        for off in range(0, len(gs), GROUPS_PER_CHUNK):
-            chunks.append((t, gs[off:off + GROUPS_PER_CHUNK]))
+        for off in range(0, len(gs), gpc):
+            chunks.append((t, gs[off:off + gpc]))
 
     c = len(chunks)
     span_sub = span * SUB
-    g_src = np.zeros((c, GROUPS_PER_CHUNK, SUB), np.int32)
-    g_dst = np.zeros((c, GROUPS_PER_CHUNK, SUB), np.int32)
-    g_val = np.zeros((c, GROUPS_PER_CHUNK, SUB), np.float32)
-    g_eid = np.full((c, GROUPS_PER_CHUNK, SUB), n, np.int32)
-    g_touch = np.zeros((c * GROUPS_PER_CHUNK,), np.int32)
-    g_p0 = np.zeros((c * GROUPS_PER_CHUNK,), np.int32)
-    group_sb = np.zeros((c * GROUPS_PER_CHUNK,), np.int64)
-    group_live = np.zeros((c * GROUPS_PER_CHUNK,), bool)
+    g_src = np.zeros((c, gpc, SUB), np.int32)
+    g_dst = np.zeros((c, gpc, SUB), np.int32)
+    g_val = np.zeros((c, gpc, SUB), np.float32)
+    g_eid = np.full((c, gpc, SUB), n, np.int32)
+    g_touch = np.zeros((c * gpc,), np.int32)
+    g_p0 = np.zeros((c * gpc,), np.int32)
+    group_sb = np.zeros((c * gpc,), np.int64)
+    group_live = np.zeros((c * gpc,), bool)
     c_dt = np.zeros((c,), np.int32)
     for ci, (t, gs) in enumerate(chunks):
         c_dt[ci] = t
@@ -274,7 +306,7 @@ def grouped_from_arrays(src, dst, val, n_src: int, n_dst: int,
             g_dst[ci, gj, :m] = dst[a:b] % tile_dst
             g_val[ci, gj, :m] = val[a:b]
             g_eid[ci, gj, :m] = phys[a:b]
-            pos = ci * GROUPS_PER_CHUNK + gj
+            pos = ci * gpc + gj
             group_sb[pos] = sb[a]
             group_live[pos] = True
             # Base sub-tile, clamped so [p0, p0 + window) stays inside
@@ -289,12 +321,12 @@ def grouped_from_arrays(src, dst, val, n_src: int, n_dst: int,
     # (dst_tile, superblock) in stream order — the transition must
     # break when the dst tile changes even if the superblock id
     # repeats (different panel epoch).
-    dt_of_group = np.repeat(c_dt.astype(np.int64), GROUPS_PER_CHUNK)
+    dt_of_group = np.repeat(c_dt.astype(np.int64), gpc)
     trans_key = dt_of_group * (1 << 32) + group_sb
-    g_meta = np.full((c * GROUPS_PER_CHUNK,), PAD_META, np.int32)
+    g_meta = np.full((c * gpc,), PAD_META, np.int32)
     trans_sb_list = []
     prev = None
-    for g in range(c * GROUPS_PER_CHUNK):
+    for g in range(c * gpc):
         if not group_live[g]:
             continue
         if prev is None or trans_key[g] != prev:
@@ -334,12 +366,13 @@ class GroupedCooPair:
 
 def grouped_pair_from_arrays(src, dst, val, n_src: int, n_dst: int,
                              span: int | None = None,
-                             window: int | None = None) -> GroupedCooPair:
+                             window: int | None = None,
+                             gpc: int | None = None) -> GroupedCooPair:
     return GroupedCooPair(
         fwd=grouped_from_arrays(src, dst, val, n_src, n_dst, span=span,
-                                window=window),
+                                window=window, gpc=gpc),
         bwd=grouped_from_arrays(dst, src, val, n_dst, n_src, span=span,
-                                window=window))
+                                window=window, gpc=gpc))
 
 
 @jax.tree_util.register_dataclass

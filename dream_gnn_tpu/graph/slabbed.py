@@ -58,25 +58,49 @@ CS_V3 = 8                 # slots per chunk (= scatter batch width / 128)
 SLAB_TILES_V3 = 16        # dst tiles per resident slab
 
 
-def auto_geometry(n_live: int, n_src: int, n_dst: int):
-    """Density-adaptive (tile, span, window) for a slabbed layout.
+VMEM_BUDGET_V3 = 13 * 2 ** 20   # kernel scoped-VMEM target (chip limit
+#                                 is 16 MiB; leave head-room for edge
+#                                 stream double-buffers + compiler)
+
+
+def auto_geometry(n_live: int, n_src: int, n_dst: int, d: int = 128,
+                  cs: int = CS_V3):
+    """Density-adaptive (tile, span, window, k) for a slabbed layout.
 
     A 128-edge slot spans ~128 / (density*SUB*tile) consecutive src
     sub-tiles, so sparser graphs need wider windows or taller tiles.
     Prefer the smallest tile (scatter MACs are proportional to tile)
     whose window stays <= 8 — beyond that the select tree's VPU cost
-    and slot-cut losses outgrow the MAC savings.  ``span`` is fixed at
-    128 sub-tiles (4 MB packed panel; ring of 2 fits VMEM next to the
-    slab block) — unlike the grouped layout, span no longer trades
-    against anything: transitions are chunk-aligned and ~free.
+    and slot-cut losses outgrow the MAC savings.  Window is the
+    tightest cover of one slot's expected span: the chip sweep
+    (scripts/probe_spmm_slab.py) measured ~10 ns per window step per
+    slot while occupancy at the 10M config was FLAT from w=4 to w=6
+    (cs-padding, not window cuts, bounds it).
+
+    ``k`` (slab tiles) and ``span`` then fit the scoped-VMEM budget —
+    the v5e limit is 16 MiB and the kernel's residents are the 2-deep
+    panel ring (2 * span * SUB * d/2 * 4B), the DOUBLE-BUFFERED out
+    block (2 * k * d * tile * 4B) and the row-id plane
+    (tile * cs * SUB * 4B); a tile=512 relation at span=128/k=16
+    measured 18.02 MiB and was rejected by the Mosaic allocator.
+    Slab width k*tile stays ~4096 rows (panel-traffic passes over x
+    are n_dst / (k*tile) — constant across tile choices).
     """
     density = n_live / max(float(n_src) * float(n_dst), 1.0)
     for tile in (256, 512, 1024):
         exp_per_subtile = density * SUB * tile
-        window = int(np.ceil(180.0 / max(exp_per_subtile, 1e-12)))
+        window = int(np.ceil(SUB / max(exp_per_subtile, 1e-12)))
         if window <= 8:
             break
-    return tile, SPAN_V3, int(np.clip(window, 3, 8))
+    window = int(np.clip(window, 3, 8))
+    k = max(4096 // tile, 1)
+    rows_bytes = tile * cs * SUB * 4
+    out_bytes = 2 * k * d * tile * 4
+    span = SPAN_V3
+    while span > 8 and (2 * span * SUB * (d // 2) * 4
+                        + out_bytes + rows_bytes) > VMEM_BUDGET_V3:
+        span //= 2
+    return tile, span, window, k
 
 
 @jax.tree_util.register_dataclass
@@ -147,7 +171,8 @@ def slabbed_from_arrays(src, dst, val, n_src: int, n_dst: int,
                         span: int | None = None,
                         window: int | None = None,
                         cs: int = CS_V3,
-                        k: int = SLAB_TILES_V3) -> SlabbedCoo:
+                        k: int | None = None,
+                        d: int = 128) -> SlabbedCoo:
     src = np.asarray(src, np.int64)
     dst = np.asarray(dst, np.int64)
     val = np.asarray(val, np.float32)
@@ -155,10 +180,12 @@ def slabbed_from_arrays(src, dst, val, n_src: int, n_dst: int,
     src, dst, val = src[live], dst[live], val[live]
     phys = np.arange(len(src), dtype=np.int64)
 
-    a_tile, a_span, a_window = auto_geometry(len(src), n_src, n_dst)
+    a_tile, a_span, a_window, a_k = auto_geometry(len(src), n_src,
+                                                  n_dst, d=d, cs=cs)
     tile = a_tile if tile is None else tile
     span = a_span if span is None else span
     window = a_window if window is None else window
+    k = a_k if k is None else k
     window = min(window, span)
     if span > 128:
         raise ValueError("span > 128 overflows the 8-bit packed p0")
@@ -276,9 +303,60 @@ class SlabbedCooPair:
 def slabbed_pair_from_arrays(src, dst, val, n_src: int, n_dst: int,
                              tile: int | None = None,
                              span: int | None = None,
-                             window: int | None = None) -> SlabbedCooPair:
+                             window: int | None = None,
+                             d: int = 128) -> SlabbedCooPair:
     return SlabbedCooPair(
         fwd=slabbed_from_arrays(src, dst, val, n_src, n_dst, tile=tile,
-                                span=span, window=window),
+                                span=span, window=window, d=d),
         bwd=slabbed_from_arrays(dst, src, val, n_dst, n_src, tile=tile,
-                                span=span, window=window))
+                                span=span, window=window, d=d))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BipartiteSlabbed:
+    """Relation-typed bipartite encoder graph, slab-streamed layout.
+
+    The v3 single-device scale counterpart of
+    graph/grouped.BipartiteGrouped: each (rating, direction) relation
+    is a SlabbedCooPair consumed by kernels/pallas_spmm_slab, with
+    per-relation density-adaptive (tile, window) geometry.  Mirrors
+    the COO layout's norm semantics (degree summed over relations).
+    """
+
+    fwd: tuple        # tuple[SlabbedCooPair], len R (drug -> disease)
+    rev: tuple        # tuple[SlabbedCooPair], len R (disease -> drug)
+    ci_drug: jnp.ndarray
+    cj_drug: jnp.ndarray
+    ci_dis: jnp.ndarray
+    cj_dis: jnp.ndarray
+
+    @property
+    def num_ratings(self) -> int:
+        return len(self.fwd)
+
+
+def build_enc_graph_slabbed(pairs, values, n_drug: int, n_dis: int,
+                            symm: bool = True,
+                            ratings=(0, 1)) -> BipartiteSlabbed:
+    pairs = np.asarray(pairs)
+    values = np.asarray(values)
+    fwd, rev = [], []
+    for r in ratings:
+        idx = np.where(values == r)[0]
+        dr, di = pairs[0][idx], pairs[1][idx]
+        ones = np.ones(len(idx), np.float32)
+        fwd.append(slabbed_pair_from_arrays(dr, di, ones, n_drug, n_dis))
+        rev.append(slabbed_pair_from_arrays(di, dr, ones, n_dis, n_drug))
+
+    from dream_gnn_tpu.graph.norms import inv_sqrt_norm
+
+    deg_drug = np.bincount(pairs[0], minlength=n_drug).astype(np.float32)
+    deg_dis = np.bincount(pairs[1], minlength=n_dis).astype(np.float32)
+    ci_drug = jnp.asarray(inv_sqrt_norm(deg_drug))
+    ci_dis = jnp.asarray(inv_sqrt_norm(deg_dis))
+    cj_drug = ci_drug if symm else jnp.ones((n_drug, 1), jnp.float32)
+    cj_dis = ci_dis if symm else jnp.ones((n_dis, 1), jnp.float32)
+    return BipartiteSlabbed(fwd=tuple(fwd), rev=tuple(rev),
+                            ci_drug=ci_drug, cj_drug=cj_drug,
+                            ci_dis=ci_dis, cj_dis=cj_dis)

@@ -72,8 +72,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from dream_gnn_tpu.graph.grouped import (GROUPS_PER_CHUNK, LEAD, NSLOTS,
-                                         SUB, GroupedCoo,
+from dream_gnn_tpu.graph.grouped import (LEAD, NSLOTS, SUB, GroupedCoo,
                                          GroupedCooPair, p0_bits_for)
 
 INTERPRET = False
@@ -118,7 +117,8 @@ PACK_PANELS = True
 def _spmm_gather_kernel(meta_ref, trans_sb_ref, dst_tile_ref, first_ref,
                         src_ref, dst_ref, val_ref, xt_hbm, out_ref,
                         panels, sems, rows_sc, *extra_sc, dtype,
-                        group_batch, packed, span, window, ablate=None):
+                        group_batch, packed, span, window, gpc,
+                        ablate=None):
     i = pl.program_id(0)
     p0b = p0_bits_for(span)
     shift = p0b + window
@@ -154,7 +154,7 @@ def _spmm_gather_kernel(meta_ref, trans_sb_ref, dst_tile_ref, first_ref,
     lanes = ids_s & (SUB - 1)
     sels = ids_s >> _SUB_SHIFT    # sub-tile of each edge's source row
     gb = group_batch
-    n_batches = GROUPS_PER_CHUNK // gb
+    n_batches = gpc // gb
 
     def panel_dma(sl, sb):
         return pltpu.make_async_copy(
@@ -167,7 +167,7 @@ def _spmm_gather_kernel(meta_ref, trans_sb_ref, dst_tile_ref, first_ref,
         base = b * gb
         parts = []
         for g in range(gb):
-            gid = i * GROUPS_PER_CHUNK + base + g
+            gid = i * gpc + base + g
             meta = meta_ref[gid]
             tid = meta >> shift              # panel transition id
             p0 = (meta >> window) & ((1 << p0b) - 1) if p0b else 0
@@ -226,9 +226,9 @@ def _spmm_gather_kernel(meta_ref, trans_sb_ref, dst_tile_ref, first_ref,
                     jnp.where(sel == p0 + p, gp, msgs_g)
             parts.append(msgs_g)
 
-        batch_live = meta_ref[i * GROUPS_PER_CHUNK + base] & touch_mask
+        batch_live = meta_ref[i * gpc + base] & touch_mask
         for g in range(1, gb):
-            batch_live |= meta_ref[i * GROUPS_PER_CHUNK + base
+            batch_live |= meta_ref[i * gpc + base
                                    + g] & touch_mask
 
         @pl.when(batch_live != 0)
@@ -296,9 +296,11 @@ def _spmm_gather_raw(g: GroupedCoo, x: jnp.ndarray,
     program; tests pin that the timings differ)."""
     if _ablate not in (None, "gather_only", "no_mask", "no_matmul"):
         raise ValueError(f"unknown ablate mode {_ablate!r}")
+    gpc = g.src_local.shape[1]   # groups per chunk (layout-adaptive)
     gb = GROUP_BATCH if group_batch is None else group_batch
-    if GROUPS_PER_CHUNK % gb:
-        raise ValueError(f"group_batch {gb} must divide {GROUPS_PER_CHUNK}")
+    gb = min(gb, gpc)
+    if gpc % gb:
+        raise ValueError(f"group_batch {gb} must divide gpc {gpc}")
     d = x.shape[1]
     span, window = g.span, g.window
     if packed is None:
@@ -323,7 +325,7 @@ def _spmm_gather_raw(g: GroupedCoo, x: jnp.ndarray,
     xt3 = xt.reshape(panel_rows, g.n_src_pad // SUB, SUB).transpose(
         1, 0, 2)
 
-    edge_spec = pl.BlockSpec((1, GROUPS_PER_CHUNK, SUB),
+    edge_spec = pl.BlockSpec((1, gpc, SUB),
                              lambda i, *_: (i, 0, 0),
                              memory_space=pltpu.VMEM)
     scratch = [
@@ -336,7 +338,7 @@ def _spmm_gather_raw(g: GroupedCoo, x: jnp.ndarray,
     out_t = pl.pallas_call(
         functools.partial(_spmm_gather_kernel, dtype=dtype,
                           group_batch=gb, packed=packed, span=span,
-                          window=window, ablate=_ablate),
+                          window=window, gpc=gpc, ablate=_ablate),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,    # meta, trans_sb, dst_tile, first
             grid=(g.n_chunks,),

@@ -61,7 +61,7 @@ PACK_PANELS = True
 def _slab_kernel(meta_ref, dt_ref, slab_ref, first_ref, live_ref,
                  wait_ref, tsb_ref, src_ref, dst_ref, val_ref, xt_hbm,
                  out_ref, panels, sems, rows_sc, *, dtype, packed,
-                 span, window, cs):
+                 span, window, cs, ablate=None):
     i = pl.program_id(0)
 
     def panel_dma(sl, sb):
@@ -130,6 +130,12 @@ def _slab_kernel(meta_ref, dt_ref, slab_ref, first_ref, live_ref,
         v = val.reshape(1, cs * SUB)
         dsts = ids_d.reshape(1, cs * SUB)
         tile = out_ref.shape[2]
+        if ablate == "gather_only":
+            # Consume msgs cheaply so the gathers stay live; skips the
+            # mask build AND the scatter matmul.  WRONG output.
+            out_ref[0, :, 0:1] += jnp.sum(
+                msgs.astype(jnp.float32), axis=1, keepdims=True)
+            return
         eq = rows_sc[0] == jnp.broadcast_to(dsts, (tile, cs * SUB))
         if jnp.dtype(dtype) == jnp.float32:
             m = jnp.where(eq, jnp.broadcast_to(v, (tile, cs * SUB)),
@@ -138,16 +144,36 @@ def _slab_kernel(meta_ref, dt_ref, slab_ref, first_ref, live_ref,
             m = eq.astype(dtype)
             msgs = msgs * jnp.broadcast_to(
                 v, (d, cs * SUB)).astype(msgs.dtype)
+        if ablate == "no_matmul":
+            # Mask built, matmul + accumulate skipped.  WRONG output.
+            out_ref[0, :, 0:1] += (
+                jnp.sum(msgs.astype(jnp.float32), axis=1,
+                        keepdims=True)
+                + jnp.sum(m.astype(jnp.float32), axis=1,
+                          keepdims=True)[:d])
+            return
         dtl = dt_ref[i]
-        out_ref[dtl] += jax.lax.dot_general(
+        r = jax.lax.dot_general(
             msgs.astype(dtype), m,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
+        if ablate == "no_accum":
+            # Matmul runs but lands at a FIXED tile (no dynamic-index
+            # read-modify-write).  WRONG output.
+            out_ref[0] += r
+            return
+        out_ref[dtl] += r
 
 
 def _spmm_slab_raw(g: SlabbedCoo, x: jnp.ndarray,
                    dtype=jnp.bfloat16,
-                   packed: bool | None = None) -> jnp.ndarray:
+                   packed: bool | None = None,
+                   _ablate: str | None = None) -> jnp.ndarray:
+    """``_ablate`` is MEASUREMENT-ONLY (scripts/probe_spmm_slab.py):
+    'gather_only' / 'no_matmul' / 'no_accum' skip real work to isolate
+    the kernel's phases — outputs are WRONG by design."""
+    if _ablate not in (None, "gather_only", "no_matmul", "no_accum"):
+        raise ValueError(f"unknown ablate mode {_ablate!r}")
     d = x.shape[1]
     span, window, cs = g.span, g.window, g.cs
     if packed is None:
@@ -169,7 +195,8 @@ def _spmm_slab_raw(g: SlabbedCoo, x: jnp.ndarray,
                              memory_space=pltpu.VMEM)
     out_t = pl.pallas_call(
         functools.partial(_slab_kernel, dtype=dtype, packed=packed,
-                          span=span, window=window, cs=cs),
+                          span=span, window=window, cs=cs,
+                          ablate=_ablate),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=7,
             grid=(g.n_chunks,),

@@ -132,6 +132,7 @@ def gcmc_layer_apply(params, graph: BipartiteGraph,
                                           preferred_element_type=jnp.float32)
         else:
             from dream_gnn_tpu.graph.grouped import BipartiteGrouped
+            from dream_gnn_tpu.graph.slabbed import BipartiteSlabbed
             from dream_gnn_tpu.sharding.scale_graph import (
                 BipartiteSharded, BipartiteShardedGrouped,
                 spmm_gather_sharded, spmm_gather_sharded_ring)
@@ -194,6 +195,40 @@ def gcmc_layer_apply(params, graph: BipartiteGraph,
                 msg_drug = msg_drug + spmm_sharded(
                     graph.mesh, graph.axis, g_r,
                     hv * cj_v)[: graph.n_drug]
+            elif isinstance(graph, BipartiteSlabbed):
+                # v3 single-device scale path: slab-streamed Pallas
+                # SpMM (kernels/pallas_spmm_slab).  Same PRF edge-mask
+                # contract as the grouped path: masks key on physical
+                # edge ids shared by the fwd/transposed layouts, so
+                # the custom VJP stays exact under edge dropout.
+                from dream_gnn_tpu.kernels.pallas_spmm_slab import \
+                    spmm_slab
+
+                g_f, g_r = graph.fwd[r], graph.rev[r]
+                if edge_masks is not None:
+                    assert edge_masks.get("kind") == "grouped_prf", \
+                        "slabbed layout needs PRF edge masks"
+                    import dataclasses as _dc
+
+                    from dream_gnn_tpu.augment.masks import prf_keep_mask
+                    rate = edge_masks["rate"]
+
+                    def _mask_pair(pair, salt):
+                        return _dc.replace(
+                            pair,
+                            fwd=_dc.replace(pair.fwd, val=pair.fwd.val *
+                                            prf_keep_mask(salt,
+                                                          pair.fwd.edge_id,
+                                                          rate)),
+                            bwd=_dc.replace(pair.bwd, val=pair.bwd.val *
+                                            prf_keep_mask(salt,
+                                                          pair.bwd.edge_id,
+                                                          rate)))
+
+                    g_f = _mask_pair(g_f, edge_masks["fwd_salts"][r])
+                    g_r = _mask_pair(g_r, edge_masks["rev_salts"][r])
+                msg_dis = msg_dis + spmm_slab(g_f, hd * cj_d)
+                msg_drug = msg_drug + spmm_slab(g_r, hv * cj_v)
             elif isinstance(graph, BipartiteGrouped):
                 # Scale path: grouped-gather Pallas SpMM.  Edge-dropout
                 # masks are a PRF of the physical edge id, so the fwd

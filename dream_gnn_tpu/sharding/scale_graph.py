@@ -124,8 +124,9 @@ def _pad_chunks(g, c_max: int, n_pad_val: int, t_max: int):
     per-shard static metadata must match."""
     import dataclasses as _dc
 
-    from dream_gnn_tpu.graph.grouped import GROUPS_PER_CHUNK, LEAD, PAD_META
+    from dream_gnn_tpu.graph.grouped import LEAD, PAD_META
 
+    gpc = g.src_local.shape[1]      # layout-adaptive groups per chunk
     tpad = t_max + LEAD - g.trans_sb.shape[0]
     g = _dc.replace(
         g, n_live=n_pad_val,
@@ -138,7 +139,7 @@ def _pad_chunks(g, c_max: int, n_pad_val: int, t_max: int):
     pad3 = lambda a, v=0: jnp.concatenate(
         [a, jnp.full((pc,) + a.shape[1:], v, a.dtype)], axis=0)
     padg = lambda a, v=0: jnp.concatenate(
-        [a, jnp.full((pc * GROUPS_PER_CHUNK,), v, a.dtype)], axis=0)
+        [a, jnp.full((pc * gpc,), v, a.dtype)], axis=0)
     return _dc.replace(
         g,
         src_local=pad3(g.src_local), dst_local=pad3(g.dst_local),
@@ -198,23 +199,24 @@ def _sharded_grouped_pairs(src, dst, val, n_src: int, n_dst: int,
     a leading shard axis."""
     import dataclasses as _dc
 
-    from dream_gnn_tpu.graph.grouped import (GroupedCooPair,
+    from dream_gnn_tpu.graph.grouped import (GroupedCooPair, auto_gpc,
                                              auto_span_window,
                                              grouped_pair_from_arrays)
 
     rps = -(-n_dst // n_shards)
     # Resolve the density-adaptive layout geometry ONCE from the full
     # relation: per-shard edge counts jitter, and stacked shards must
-    # share identical static (span, window) to tree-stack.
-    span, window = auto_span_window(int((val != 0).sum()) // n_shards,
-                                    n_src, rps)
+    # share identical static (span, window, gpc) to tree-stack.
+    n_live_shard = int((val != 0).sum()) // n_shards
+    span, window = auto_span_window(n_live_shard, n_src, rps)
+    gpc = auto_gpc(n_live_shard, rps)
     pairs = []
     base = 0
     for s in range(n_shards):
         m = (dst // rps) == s
         p = grouped_pair_from_arrays(src[m], dst[m] - s * rps, val[m],
                                      n_src, rps, span=span,
-                                     window=window)
+                                     window=window, gpc=gpc)
         n_local = int(m.sum())
         p = GroupedCooPair(
             fwd=_dc.replace(p.fwd, edge_id=p.fwd.edge_id + base),
@@ -242,17 +244,20 @@ def _sharded_grouped_pairs_ring(src, dst, val, n_src: int, n_dst: int,
     rows_per_src_block)."""
     import dataclasses as _dc
 
-    from dream_gnn_tpu.graph.grouped import (GroupedCooPair,
+    from dream_gnn_tpu.graph.grouped import (GroupedCooPair, auto_gpc,
                                              auto_span_window,
                                              grouped_pair_from_arrays)
 
     rps_dst = -(-n_dst // n_shards)
     rps_src = -(-n_src // n_shards)
-    # One (span, window) for every sub-block (stacking needs uniform
-    # statics); sub-block density equals the full relation's.
-    span, window = auto_span_window(
-        int((val != 0).sum()) // (n_shards * n_shards),
-        rps_src, rps_dst)
+    # One (span, window, gpc) for every sub-block (stacking needs
+    # uniform statics); sub-block density equals the full relation's.
+    # gpc adapts to the SUB-BLOCK size (VERDICT r4 #3): at S=16 the
+    # 39k-edge sub-blocks padded each dst tile's ~23.5 slots to 32
+    # under gpc=16 (occ 0.73); gpc=8 recovers ~0.9.
+    n_live_sub = int((val != 0).sum()) // (n_shards * n_shards)
+    span, window = auto_span_window(n_live_sub, rps_src, rps_dst)
+    gpc = auto_gpc(n_live_sub, rps_dst)
     grid = []
     base = 0
     for s in range(n_shards):
@@ -262,7 +267,7 @@ def _sharded_grouped_pairs_ring(src, dst, val, n_src: int, n_dst: int,
             m = ((dst // rps_dst) == s) & ((src // rps_src) == b)
             p = grouped_pair_from_arrays(
                 src[m] - b * rps_src, dst[m] - s * rps_dst, val[m],
-                rps_src, rps_dst, span=span, window=window)
+                rps_src, rps_dst, span=span, window=window, gpc=gpc)
             n_local = int(m.sum())
             p = GroupedCooPair(
                 fwd=_dc.replace(p.fwd, edge_id=p.fwd.edge_id + base),

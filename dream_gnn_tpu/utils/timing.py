@@ -140,6 +140,29 @@ def scale_decoder_floor_ms(layout, h1: int, train: bool) -> float:
     return hbm / HBM_BYTES_PER_S * 1e3
 
 
+def spmm_slab_floor_ms(g, d: int, packed: bool) -> float:
+    """HBM + MXU floor (ms) of one slab-streamed SpMM application
+    (kernels/pallas_spmm_slab.py).
+
+    Panel traffic: one (span*SUB x d) source slab per panel transition
+    (n_slabs passes over x; trans_sb has LEAD_V3 trailing -1 pads).
+    Edge traffic: src/dst/val per slot, read once.  Output: the
+    (n_tiles_pad, d, tile) buffer written once.  MXU: tile x d MACs
+    per slot edge.
+    """
+    from dream_gnn_tpu.graph.slabbed import LEAD_V3, SUB
+
+    n_trans = int(g.trans_sb.shape[0]) - LEAD_V3
+    bytes_per_row = (d // 2 if packed else d) * 4
+    panel_bytes = n_trans * g.span * SUB * bytes_per_row
+    slots = int(np.prod(g.val.shape))
+    edge_bytes = slots * 12
+    out_bytes = g.n_tiles_pad * d * g.tile * 4
+    hbm_ms = (panel_bytes + edge_bytes + out_bytes) / HBM_BYTES_PER_S * 1e3
+    mxu_ms = slots * g.tile * d / MXU_MACS_PER_S * 1e3
+    return max(hbm_ms, mxu_ms)
+
+
 def spmm_gather_floor_ms(g, d: int, packed: bool) -> float:
     """HBM + MXU floor (ms) of one grouped-gather SpMM application.
 

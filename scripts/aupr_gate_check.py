@@ -12,12 +12,23 @@ Modes:
   python scripts/aupr_gate_check.py              # gate (default)
   python scripts/aupr_gate_check.py --make-band  # regenerate the band
                                                  # (5 seeds x 10 folds)
+  python scripts/aupr_gate_check.py --full-band  # gate one held-out
+                                                 # seed's FULL 18k-iter
+                                                 # protocol against the
+                                                 # results/Gdataset_full_v2
+                                                 # band (nightly-only:
+                                                 # ~8 min on TPU)
 
-The band lives in ``results/gate_short_protocol/aupr_distribution.json``
-and is specific to THIS short protocol (its distribution differs from
-the full 18k-iteration runs recorded in results/*_v2).  Regenerate it
-only after an intentional semantics change, with the change documented
-in BASELINE.md.
+The short band lives in
+``results/gate_short_protocol/aupr_distribution.json`` and is specific
+to THIS short protocol (its distribution differs from the full
+18k-iteration runs recorded in results/*_v2).  Regenerate it only
+after an intentional semantics change, with the change documented in
+BASELINE.md.  ``--full-band`` closes the r4 verdict's weak #5: the v2
+full-protocol bands existed but nothing checked against them — the
+full gate runs seed 555 (held out of every v2 band seed, asserted
+against the band run's seed dirs at gate time) through the complete
+protocol and gates its 10-fold AUPR distribution the same way.
 
 Wired into scripts/run_all_tests.sh (TPU images; ~3 min warm).  The
 reference has no regression gating of any kind (train.py:522-556 is
@@ -52,26 +63,31 @@ GATE_SEED = 42
 assert GATE_SEED not in BAND_SEEDS
 SHORT_ITERS = 2001
 
+FULL_BAND_DIR = os.path.join(os.path.dirname(BAND_DIR),
+                             "Gdataset_full_v2")
+FULL_BAND_PATH = os.path.join(FULL_BAND_DIR, "aupr_distribution.json")
+# Held out of every v2 band run (their seed_<n> dirs are re-checked at
+# gate time — a hardcoded list could silently drift from the band).
+FULL_GATE_SEED = 555
 
-def _short_cfg(save_dir: str):
-    import dataclasses
 
+def _short_cfg(save_dir: str, iters: int = SHORT_ITERS):
     from dream_gnn_tpu.config import ModelConfig, TrainConfig
 
     model = ModelConfig(decoder_backend="pallas", decode_mode="grid",
                         compute_dtype="bfloat16")
     return TrainConfig(data_name="Gdataset", model=model,
-                       train_max_iter=SHORT_ITERS,
+                       train_max_iter=iters,
                        train_valid_interval=250,
                        save_dir=save_dir, save_model=False,
                        generate_top_predictions=False)
 
 
-def _run_protocol(seeds, save_dir: str):
+def _run_protocol(seeds, save_dir: str, iters: int = SHORT_ITERS):
     from dream_gnn_tpu.data.loader import DreamDataset
     from dream_gnn_tpu.train.harness import run_experiments
 
-    cfg = _short_cfg(save_dir)
+    cfg = _short_cfg(save_dir, iters)
     dataset = DreamDataset.load(cfg.data_name, k=cfg.num_neighbor)
     run_experiments(dataset, cfg, seeds=seeds, verbose=True,
                     fold_parallel=True)
@@ -93,6 +109,37 @@ def main() -> int:
 
     from dream_gnn_tpu.eval.aupr_gate import (collect_fold_auprs,
                                               distribution_summary, gate)
+
+    if "--full-band" in sys.argv:
+        if not os.path.exists(FULL_BAND_PATH):
+            print(f"AUPR_FULL_GATE_SKIP: no stored band at "
+                  f"{FULL_BAND_PATH}")
+            return 0
+        band_seeds = sorted(
+            int(n.split("_", 1)[1]) for n in os.listdir(FULL_BAND_DIR)
+            if n.startswith("seed_"))
+        assert FULL_GATE_SEED not in band_seeds, \
+            f"full-gate seed {FULL_GATE_SEED} helped define the band"
+        with open(FULL_BAND_PATH) as f:
+            ref = json.load(f)
+        from dream_gnn_tpu.config import TrainConfig
+
+        full_iters = TrainConfig.__dataclass_fields__[
+            "train_max_iter"].default
+        with tempfile.TemporaryDirectory(prefix="aupr_fgate_") as tmp:
+            _run_protocol([FULL_GATE_SEED], tmp, iters=full_iters)
+            observed = collect_fold_auprs(tmp)
+        ok, report = gate(observed, ref)
+        print(json.dumps(report, indent=2))
+        if ok:
+            print(f"AUPR_FULL_GATE_OK n={report['n']} "
+                  f"mean={float(np.mean(observed)):.4f} "
+                  f"(band {FULL_BAND_PATH}, seeds held out: "
+                  f"{band_seeds})")
+            return 0
+        print("AUPR_FULL_GATE_FAIL: full-protocol per-fold AUPR "
+              f"distribution regressed vs {FULL_BAND_PATH}")
+        return 1
 
     if "--make-band" in sys.argv:
         os.makedirs(BAND_DIR, exist_ok=True)

@@ -46,6 +46,10 @@ def _run(save_dir, extra=()):
     return out
 
 
+# Slow tier (r5): ~80 s of subprocess CLI runs; the default tier keeps
+# resume-logic coverage via tests/test_resume.py, and the nightly
+# (scripts/run_all_tests.sh) runs this end-to-end SIGKILL variant.
+@pytest.mark.slow
 def test_cli_kill_and_resume(tmp_path):
     d_full, d_pre = tmp_path / "full", tmp_path / "preempted"
 

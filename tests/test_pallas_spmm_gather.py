@@ -239,3 +239,30 @@ def test_ablate_modes_change_the_program(rng):
     assert not np.allclose(outs["gather_only"], outs["no_mask"])
     with pytest.raises(ValueError):
         psg._spmm_gather_raw(g, jnp.asarray(x), _ablate="bogus")
+
+
+def test_auto_gpc_recovers_subblock_occupancy(rng):
+    """VERDICT r4 #3: at ring-sub-block scale (S=16 geometry: ~39k
+    edges over 6250x6250) chunk-slot padding under gpc=16 collapsed
+    occupancy to ~0.73; auto_gpc picks a smaller chunk and the layout
+    must land at >= 0.85 — with kernel output unchanged."""
+    from dream_gnn_tpu.graph.grouped import (auto_gpc, auto_span_window,
+                                             grouped_pair_from_arrays)
+
+    n_sub, e_sub = 6250, 39062
+    src = rng.integers(0, n_sub, e_sub)
+    dst = rng.integers(0, n_sub, e_sub)
+    val = (rng.random(e_sub) + 0.5).astype(np.float32)
+    span, window = auto_span_window(e_sub, n_sub, n_sub)
+    gpc = auto_gpc(e_sub, n_sub)
+    assert gpc < 16
+    old = grouped_pair_from_arrays(src, dst, val, n_sub, n_sub,
+                                   span=span, window=window, gpc=16)
+    new = grouped_pair_from_arrays(src, dst, val, n_sub, n_sub,
+                                   span=span, window=window, gpc=gpc)
+    assert old.fwd.occupancy < 0.80
+    assert new.fwd.occupancy >= 0.85, new.fwd.occupancy
+    x = jnp.asarray(rng.normal(size=(n_sub, 16)).astype(np.float32))
+    a = np.asarray(psg._spmm_gather_raw(old.fwd, x, dtype=jnp.float32))
+    b = np.asarray(psg._spmm_gather_raw(new.fwd, x, dtype=jnp.float32))
+    np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-5)

@@ -88,6 +88,10 @@ def test_sharded_matches_single_device(setup):
                                    rtol=1e-4, atol=1e-5)
 
 
+# Slow tier (r5): ~80 s, and the round driver independently executes
+# __graft_entry__.dryrun_multichip every round (MULTICHIP_r*.json), so
+# the default tier was paying twice for the same check.
+@pytest.mark.slow
 def test_graft_dryrun():
     # ring_shards=2: the S=4 ring is the driver's job (MULTICHIP_r*);
     # tests/test_sharded_scale.py pins S=2 ring numerics — here we only
