@@ -428,23 +428,33 @@ def bench_scale_config(quick=False):
     return out
 
 
-def bench_ring_efficiency(t1_fwd_ms, t1_fb_ms, quick=False):
-    """Ring scaling-efficiency curve from measured sub-block times
-    (VERDICT r3 #1; full derivation in docs/kernels.md §5 and
+def bench_ring_efficiency(quick=False):
+    """Ring scaling-efficiency curve from WHOLE per-shard ring passes
+    (VERDICT r4 #2; full derivation in docs/kernels.md §5 and
     scripts/bench_ring_subblocks.py).
 
     Per ring step a shard computes ONE ~E/S^2-edge sub-block while
-    ppermute moves one (n_src/S, d) bf16 block over ICI; the model is
-    eff(S) = (T_1/S) / (S * max(t_sub(S), t_ici(S))) with t_sub
-    MEASURED here on layouts of the real ring geometry (same density,
-    same auto_span_window resolution as _sharded_grouped_pairs_ring)
-    and t_ici from the ~45 GB/s per-direction v5e ICI link (doubled
+    ppermute moves one (n_src/S, d) bf16 block over ICI.  The round-4
+    instrument timed a single sub-block and multiplied by S — at
+    S >= 4 that sits at/below the relay's resolution and produced
+    impossible readings (161.8% efficiency on a judge re-run).  This
+    version times S sub-block calls chained in ONE jitted program (S
+    DISTINCT layouts, data-dependent steps — what a shard actually
+    executes) and records the run-to-run spread per row, so noise is
+    visible in the artifact.  T_1 is measured here with the SAME
+    (grouped) kernel family the ring path runs, keeping eff a pure
+    ring-overhead metric; the single-device scale numbers above use
+    the faster slab kernel and are reported separately.
+
+        eff(S) = (T_1 / S) / max(T_pass(S), S * t_ici(S))
+
+    with t_ici from the ~45 GB/s per-direction v5e ICI link (doubled
     for fwd+bwd — the backward ring rotates cotangents too).
     """
     import jax
     import jax.numpy as jnp
 
-    from dream_gnn_tpu.graph.grouped import (auto_span_window,
+    from dream_gnn_tpu.graph.grouped import (auto_gpc, auto_span_window,
                                              grouped_pair_from_arrays)
     from dream_gnn_tpu.utils.timing import (chained_ms,
                                             spmm_gather_floor_ms)
@@ -453,52 +463,85 @@ def bench_ring_efficiency(t1_fwd_ms, t1_fb_ms, quick=False):
     n_nodes, n_edges, d = 100_000, 10_000_000, 128
     ici_bytes_per_s = 45e9
     rng = np.random.default_rng(7)
-    curve = []
-    for S in (2, 4, 8, 16):
+    runs = 2 if quick else 3
+
+    def build(S):
         n_sub = -(-n_nodes // S)
         e_sub = n_edges // (S * S)
         span, window = auto_span_window(e_sub, n_sub, n_sub)
-        pair = grouped_pair_from_arrays(
-            rng.integers(0, n_sub, e_sub), rng.integers(0, n_sub, e_sub),
+        gpc = auto_gpc(e_sub, n_sub)
+        return [grouped_pair_from_arrays(
+            rng.integers(0, n_sub, e_sub),
+            rng.integers(0, n_sub, e_sub),
             rng.random(e_sub).astype(np.float32) + 0.5, n_sub, n_sub,
-            span=span, window=window)
+            span=span, window=window, gpc=gpc)
+            for _ in range(S)], n_sub, e_sub
+
+    def ring_fwd(x, lays):
+        h = x
+        for lay in lays:
+            h = psg.spmm_gather(lay, h)
+        return h
+
+    def ring_fb(x, lays):
+        return jax.grad(
+            lambda y: jnp.sum(ring_fwd(y, lays) ** 2))(x)
+
+    def measure(fn, x, lays, n, floor, name):
+        vals = [chained_ms(fn, x, args=(lays,), n=n, reps=2,
+                           floor_ms=floor, name=name)
+                for _ in range(runs)]
+        return (float(np.mean(vals)),
+                float((max(vals) - min(vals)) / np.mean(vals)))
+
+    full, _, _ = build(1)
+    x = jnp.asarray(rng.normal(size=(n_nodes, d)).astype(np.float32))
+    fl = spmm_gather_floor_ms(full[0].fwd, d, packed=True)
+    t1_fwd, sp_f = measure(ring_fwd, x, full, 6, fl, "ring T1 fwd")
+    t1_fb, sp_fb = measure(
+        ring_fb, x, full, 4,
+        fl + spmm_gather_floor_ms(full[0].bwd, d, packed=True),
+        "ring T1 fwd+bwd")
+    del full, x
+
+    curve = []
+    for S in (2, 4, 8, 16):
+        lays, n_sub, e_sub = build(S)
         x = jnp.asarray(rng.normal(size=(n_sub, d)).astype(np.float32))
-        # Sub-ms kernels need long chains: T_N - T_1 must accumulate
-        # far above the relay's few-ms jitter.
-        n_links = int(np.clip(6_000_000 // e_sub, 6, 128))
-        fwd_ms = chained_ms(
-            lambda x, gr: psg._spmm_gather_raw(gr.fwd, x),
-            x, args=(pair,), n=n_links, reps=2 if quick else 3,
-            floor_ms=spmm_gather_floor_ms(pair.fwd, d, packed=True),
-            name=f"ring sub fwd S={S}")
-        fb_ms = chained_ms(
-            lambda x, gr: jax.grad(
-                lambda y: jnp.sum(psg.spmm_gather(gr, y) ** 2))(x),
-            x, args=(pair,), n=max(n_links // 2, 4),
-            reps=2 if quick else 3,
-            floor_ms=spmm_gather_floor_ms(pair.fwd, d, packed=True)
-            + spmm_gather_floor_ms(pair.bwd, d, packed=True),
-            name=f"ring sub fwd+bwd S={S}")
+        occ = float(np.mean([p.fwd.occupancy for p in lays]))
+        n_links = int(np.clip(25_000_000 // (e_sub * S), 5, 64))
+        floor_f = S * spmm_gather_floor_ms(lays[0].fwd, d, packed=True)
+        pass_f, spr_f = measure(ring_fwd, x, lays, n_links, floor_f,
+                                f"ring pass fwd S={S}")
+        floor_fb = floor_f + S * spmm_gather_floor_ms(
+            lays[0].bwd, d, packed=True)
+        pass_fb, spr_fb = measure(ring_fb, x, lays,
+                                  max(n_links // 2, 3), floor_fb,
+                                  f"ring pass fwd+bwd S={S}")
         ici = (n_nodes / S) * d * 2 / ici_bytes_per_s * 1e3
-        # Clamp at 1.0: sub-block and T_1 measurements carry
-        # independent noise, so near-ideal points can print slightly
-        # >100%; the raw t_sub values stay unclamped in the JSON.
-        eff_f = min(1.0, (t1_fwd_ms / S) / (S * max(fwd_ms, ici)))
-        eff_fb = min(1.0, (t1_fb_ms / S) / (S * max(fb_ms, 2 * ici)))
+        # Clamp at 1.0: pass and T_1 measurements carry independent
+        # noise; raw pass times stay unclamped in the JSON.
+        eff_f = min(1.0, (t1_fwd / S) / max(pass_f, S * ici))
+        eff_fb = min(1.0, (t1_fb / S) / max(pass_fb, S * 2 * ici))
         curve.append({
-            "S": S, "sub_edges": e_sub,
-            "occ": round(pair.fwd.occupancy, 3),
-            "t_sub_fwd_ms": round(fwd_ms, 3),
-            "t_sub_fwd_bwd_ms": round(fb_ms, 3),
+            "S": S, "sub_edges": e_sub, "occ": round(occ, 3),
+            "pass_fwd_ms": round(pass_f, 3),
+            "spread_fwd": round(spr_f, 3),
+            "pass_fwd_bwd_ms": round(pass_fb, 3),
+            "spread_fwd_bwd": round(spr_fb, 3),
             "ici_ms_per_step": round(ici, 3),
             "eff_fwd": round(eff_f, 3),
             "eff_fwd_bwd": round(eff_fb, 3)})
-        log(f"ring S={S}: t_sub fwd {fwd_ms:.3f} ms (occ "
-            f"{pair.fwd.occupancy:.2f}), eff fwd {eff_f:.1%} "
+        log(f"ring S={S}: pass fwd {pass_f:.3f} ms (occ {occ:.2f}, "
+            f"spread {spr_f:.1%}), eff fwd {eff_f:.1%} "
             f"fwd+bwd {eff_fb:.1%}")
-        del pair, x
+        del lays, x
     break80 = next((c["S"] for c in curve if c["eff_fwd"] < 0.8), None)
-    return {"curve": curve, "break80_fwd_S": break80}
+    return {"t1_fwd_ms": round(t1_fwd, 2),
+            "t1_fwd_bwd_ms": round(t1_fb, 2),
+            "t1_spread": round(max(sp_f, sp_fb), 3),
+            "kernel": "grouped (ring path)",
+            "curve": curve, "break80_fwd_S": break80}
 
 
 def bench_torch_cpu(dataset, cfg, model_cfg, steps=5):
@@ -568,14 +611,10 @@ def main():
     except Exception as e:  # noqa: BLE001 — diagnostics to stderr
         log(f"scale bench failed: {type(e).__name__}: {e}")
 
-    # Ring scaling-efficiency curve (measured sub-block dispatch
-    # times; VERDICT r3 #1).  Uses the scale bench's T_1 when
-    # available.
+    # Ring scaling-efficiency curve (whole-pass instrument; VERDICT
+    # r4 #2).  Self-contained: measures its own grouped-kernel T_1.
     try:
-        if "spmm_fwd_ms_10m" in scale:
-            scale["ring_efficiency"] = bench_ring_efficiency(
-                scale["spmm_fwd_ms_10m"], scale["spmm_fwd_bwd_ms_10m"],
-                quick=quick)
+        scale["ring_efficiency"] = bench_ring_efficiency(quick=quick)
     except Exception as e:  # noqa: BLE001
         log(f"ring efficiency bench failed: {type(e).__name__}: {e}")
 

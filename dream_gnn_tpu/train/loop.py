@@ -77,14 +77,34 @@ def train_fold(dataset: DreamDataset, cv: int, cfg: TrainConfig,
     never resume (train.py:342-351).
     """
     model_cfg = derive_model_cfg(cfg, dataset)
-    if train_fns is None:
-        train_fns = make_train_fns(model_cfg, cfg)
-    init_state, run_steps, evaluate, run_interval = train_fns
-
     train_inputs, test_inputs, train_labels, test_labels = fold_inputs(
         dataset, cv)
     fold_data = dataset.fold(cv)
-    train_w, test_w = fold_data.train_w, fold_data.test_w
+    return train_on_inputs(
+        model_cfg, cfg, train_inputs, test_inputs, train_labels,
+        test_labels, fold_data.train_w, fold_data.test_w, seed_key,
+        save_dir=save_dir, save_id=save_id, verbose=verbose,
+        train_fns=train_fns, resume_from=resume_from)
+
+
+def train_on_inputs(model_cfg: ModelConfig, cfg: TrainConfig,
+                    train_inputs: ModelInputs, test_inputs: ModelInputs,
+                    train_labels, test_labels, train_w, test_w,
+                    seed_key: jax.Array, *,
+                    save_dir: Optional[str] = None, save_id: int = 0,
+                    verbose: bool = True, train_fns=None,
+                    resume_from: Optional[str] = None):
+    """The fold-training core on EXPLICIT inputs — everything
+    ``train_fold`` does (interval scans, plateau LR, best-by-test-AUPR,
+    CSV contract, checkpoints, resume) without the DreamDataset
+    coupling, so non-fold drivers (the 100k x 100k scale training run,
+    scripts/train_scale.py) go through the standard harness instead of
+    a parallel loop.  ``train_w``/``test_w`` weight BOTH the loss and
+    the masked metrics — the scale path's slot-permuted decoder passes
+    its slot weights here (padding slots at 0)."""
+    if train_fns is None:
+        train_fns = make_train_fns(model_cfg, cfg)
+    init_state, run_steps, evaluate, run_interval = train_fns
 
     k_params, k_state = jax.random.split(seed_key)
     params = init_params(k_params, model_cfg)

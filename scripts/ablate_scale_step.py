@@ -29,7 +29,7 @@ import numpy as np
 
 from dream_gnn_tpu.config import AugmentConfig, ModelConfig, TrainConfig
 from dream_gnn_tpu.graph.coo import coo_from_arrays
-from dream_gnn_tpu.graph.grouped import build_enc_graph_grouped
+from dream_gnn_tpu.graph.slabbed import build_enc_graph_slabbed
 from dream_gnn_tpu.model.dream_gnn import ModelInputs, init_params
 from dream_gnn_tpu.train.step import make_train_fns
 
@@ -42,9 +42,9 @@ dst = rng.integers(0, n_nodes, n_edges)
 vals01 = (rng.random(n_edges) < 0.3).astype(np.float32)
 x = jnp.asarray(rng.normal(size=(n_nodes, d)).astype(np.float32))
 
-print("building grouped enc graph (8 layouts)...", flush=True)
+print("building slabbed enc graph (8 layouts)...", flush=True)
 t0 = time.perf_counter()
-graph = build_enc_graph_grouped(np.stack([src, dst]), vals01,
+graph = build_enc_graph_slabbed(np.stack([src, dst]), vals01,
                                 n_nodes, n_nodes)
 print(f"  build {time.perf_counter() - t0:.1f}s", flush=True)
 eye = coo_from_arrays(np.arange(n_nodes), np.arange(n_nodes),

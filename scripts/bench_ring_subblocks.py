@@ -45,7 +45,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dream_gnn_tpu.graph.grouped import (auto_span_window,
+from dream_gnn_tpu.graph.grouped import (auto_gpc, auto_span_window,
                                          grouped_pair_from_arrays)
 from dream_gnn_tpu.utils.timing import chained_ms, spmm_gather_floor_ms
 import dream_gnn_tpu.kernels.pallas_spmm_gather as psg
@@ -70,6 +70,7 @@ def build_subblocks(S: int, rng):
     n_sub = -(-N_NODES // S)
     e_sub = N_EDGES // (S * S)
     span, window = auto_span_window(e_sub, n_sub, n_sub)
+    gpc = auto_gpc(e_sub, n_sub)
     lays = []
     for _ in range(S):
         src = rng.integers(0, n_sub, e_sub)
@@ -77,7 +78,7 @@ def build_subblocks(S: int, rng):
         val = rng.random(e_sub).astype(np.float32) + 0.5
         lays.append(grouped_pair_from_arrays(src, dst, val, n_sub,
                                              n_sub, span=span,
-                                             window=window))
+                                             window=window, gpc=gpc))
     return lays, n_sub, e_sub
 
 
@@ -88,7 +89,11 @@ def ring_pass_fwd(x, lays):
     beyond what a real ring step allows."""
     h = x
     for lay in lays:
-        h = psg._spmm_gather_raw(lay.fwd, h)
+        # Pair-level call (custom VJP): identical forward compute to
+        # the raw kernel, and ring_pass_fb's grad transposes it to the
+        # real backward ring instead of silently mis-differentiating
+        # through the raw pallas_call.
+        h = psg.spmm_gather(lay, h)
     return h
 
 
@@ -138,8 +143,11 @@ def main():
               f"gpc={lays[0].fwd.src_local.shape[1]} occ={occ:.2f} "
               f"(build {time.perf_counter() - t0:.1f}s)", flush=True)
 
-        # Chain links sized so the chained program runs >= ~50 ms.
-        n_links = int(np.clip(3_000_000 // (e_sub * S), 4, 64))
+        # Chain links sized so the chained program runs >= ~50 ms —
+        # the first cut used ~6 ms chains at S=16 and still read 17-25%
+        # run-to-run spread; 25M edge-equivalents per chain stabilises
+        # every row.
+        n_links = int(np.clip(25_000_000 // (e_sub * S), 5, 64))
         floor_f = S * spmm_gather_floor_ms(lays[0].fwd, D, packed=True)
         pass_f, spr_f, vals_f = measure(ring_pass_fwd, x, lays,
                                         n_links, floor_f,

@@ -1,0 +1,195 @@
+"""End-to-end training at framework scale (VERDICT r4 #5).
+
+Every 10M-edge number before round 5 was STEP time; this script
+demonstrates that the flagship scale composition — 100k x 100k
+synthetic, slab-streamed SpMM encoder (kernels/pallas_spmm_slab.py),
+fused streaming scale decoder (kernels/pallas_scale_decoder.py),
+default augmentation (PRF edge dropout + feature noise), bf16 — also
+LEARNS, through the standard harness (train/loop.py:train_on_inputs:
+interval scans, plateau LR on test AUPR, best-by-AUPR selection, the
+reference CSV contract, periodic checkpoints).
+
+The synthetic task is a planted low-rank association model, so there
+is real signal to learn and a real held-out set to measure it on:
+
+    u ~ N(0, I_r)/sqrt(r) per drug, v per disease, r = 32
+    cell (i, j) is positive iff u_i . v_j > tau  (tau -> ~10% base rate)
+    encoder graph   : 10M sampled cells (rating 1 = positive)
+    train candidates: 1M sampled cells, BCE-trained
+    TEST candidates : 1M cells DISJOINT from both (hash-deduped)
+    node features   : 128-d random projection of u/v + N(0, 0.5) noise
+
+A model that generalises must rank held-out positive cells above
+negatives from the learned node representations; AUROC/AUPR on the
+test candidates are the learning evidence (base-rate AUPR ~ 0.10).
+
+Artifacts land in results/scale_train/ (test_metric0.csv,
+best_metric0.csv, ckpt_fold0.npz, summary.json with wall-clock);
+capability parity with /root/reference/train.py:154-395 at a scale
+the reference cannot reach.
+
+Run: python scripts/train_scale.py [--iters 4001] [--quick]
+"""
+
+import _bootstrap  # noqa: F401
+
+_bootstrap.setup_jax_cache()
+
+import faulthandler
+import json
+import os
+import signal
+import sys
+import time
+
+faulthandler.dump_traceback_later(1800, repeat=True)
+signal.alarm(5400)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+N_DRUG = N_DIS = 100_000
+RANK = 32
+D = 128
+N_ENC = 10_000_000
+N_CAND = 1_000_000
+POS_RATE = 0.10
+SEED = 1234
+
+QUICK = "--quick" in sys.argv
+ITERS = 4001
+if "--iters" in sys.argv:
+    ITERS = int(sys.argv[sys.argv.index("--iters") + 1])
+if QUICK:
+    ITERS = min(ITERS, 501)
+
+SAVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "results", "scale_train")
+
+
+def build_problem(rng):
+    """Planted low-rank association data + disjoint splits."""
+    u = rng.normal(size=(N_DRUG, RANK)).astype(np.float32) / np.sqrt(RANK)
+    v = rng.normal(size=(N_DIS, RANK)).astype(np.float32) / np.sqrt(RANK)
+
+    n_total = N_ENC + 2 * N_CAND
+    # Oversample, then dedupe cells so the test set is truly held out.
+    src = rng.integers(0, N_DRUG, int(n_total * 1.05))
+    dst = rng.integers(0, N_DIS, int(n_total * 1.05))
+    _, uniq = np.unique(src.astype(np.int64) * N_DIS + dst,
+                        return_index=True)
+    uniq = np.sort(uniq)[:n_total]
+    src, dst = src[uniq], dst[uniq]
+    assert len(src) == n_total, "oversampling margin too small"
+
+    score = np.einsum("er,er->e", u[src], v[dst])
+    tau = np.quantile(score, 1.0 - POS_RATE)
+    y = (score > tau).astype(np.float32)
+
+    enc = slice(0, N_ENC)
+    tr = slice(N_ENC, N_ENC + N_CAND)
+    te = slice(N_ENC + N_CAND, n_total)
+
+    w_d = rng.normal(size=(RANK, D)).astype(np.float32)
+    w_v = rng.normal(size=(RANK, D)).astype(np.float32)
+    feat_d = u @ w_d + 0.5 * rng.normal(size=(N_DRUG, D)).astype(
+        np.float32)
+    feat_v = v @ w_v + 0.5 * rng.normal(size=(N_DIS, D)).astype(
+        np.float32)
+    return dict(
+        enc=(src[enc], dst[enc], y[enc]),
+        train=(src[tr], dst[tr], y[tr]),
+        test=(src[te], dst[te], y[te]),
+        feat_drug=feat_d, feat_dis=feat_v)
+
+
+def main():
+    from dream_gnn_tpu.config import ModelConfig, TrainConfig
+    from dream_gnn_tpu.graph.coo import coo_from_arrays
+    from dream_gnn_tpu.graph.slabbed import build_enc_graph_slabbed
+    from dream_gnn_tpu.kernels.pallas_scale_decoder import \
+        build_scale_decoder_layout
+    from dream_gnn_tpu.model.dream_gnn import ModelInputs
+    from dream_gnn_tpu.train.loop import train_on_inputs
+
+    rng = np.random.default_rng(SEED)
+    t_setup = time.perf_counter()
+    print("building planted low-rank problem...", flush=True)
+    prob = build_problem(rng)
+
+    print("building slabbed encoder graph (8 relation layouts)...",
+          flush=True)
+    es, ed, ey = prob["enc"]
+    graph = build_enc_graph_slabbed(np.stack([es, ed]), ey,
+                                    N_DRUG, N_DIS)
+
+    print("building scale decoder layouts...", flush=True)
+    lay_tr = build_scale_decoder_layout(
+        prob["train"][0].astype(np.int32), prob["train"][1].astype(
+            np.int32), N_DRUG, N_DIS)
+    lay_te = build_scale_decoder_layout(
+        prob["test"][0].astype(np.int32), prob["test"][1].astype(
+            np.int32), N_DRUG, N_DIS)
+    lab_tr, w_tr = lay_tr.slot_labels(jnp.asarray(prob["train"][2]))
+    lab_te, w_te = lay_te.slot_labels(jnp.asarray(prob["test"][2]))
+
+    eye = coo_from_arrays(np.arange(N_DRUG), np.arange(N_DRUG),
+                          np.ones(N_DRUG, np.float32), N_DRUG, N_DRUG)
+    fd = jnp.asarray(prob["feat_drug"])
+    fv = jnp.asarray(prob["feat_dis"])
+    common = dict(enc_graph=graph, drug_graph=eye, drug_sim_feat=fd,
+                  drug_feat=fd, dis_graph=eye, dis_sim_feat=fv,
+                  dis_feat=fv, drug_feature_graph=None,
+                  dis_feature_graph=None)
+    train_inputs = ModelInputs(
+        dec_src=jnp.asarray(prob["train"][0].astype(np.int32)),
+        dec_dst=jnp.asarray(prob["train"][1].astype(np.int32)),
+        dec_layout=lay_tr, **common)
+    test_inputs = ModelInputs(
+        dec_src=jnp.asarray(prob["test"][0].astype(np.int32)),
+        dec_dst=jnp.asarray(prob["test"][1].astype(np.int32)),
+        dec_layout=lay_te, **common)
+
+    model = ModelConfig(
+        layers=3, gcn_agg_units=384, gcn_out_units=128,
+        src_in_units=D, dst_in_units=D, fdim_drug=D, fdim_disease=D,
+        nhid1=256, nhid2=128, compute_dtype="bfloat16",
+        decoder_backend="pallas")
+    cfg = TrainConfig(model=model, beta=0.0, train_max_iter=ITERS,
+                      train_valid_interval=250, save_dir=SAVE_DIR,
+                      checkpoint_every=1000, save_model=False)
+    print(f"setup {time.perf_counter() - t_setup:.1f}s; training "
+          f"{ITERS - 1} iters (eval every "
+          f"{cfg.train_valid_interval})...", flush=True)
+
+    os.makedirs(SAVE_DIR, exist_ok=True)
+    t0 = time.perf_counter()
+    res = train_on_inputs(
+        model, cfg, train_inputs, test_inputs, lab_tr, lab_te,
+        w_tr, w_te, jax.random.key(SEED), save_dir=SAVE_DIR,
+        save_id=0, verbose=True)
+    wall = time.perf_counter() - t0
+
+    summary = dict(
+        iters=ITERS - 1, wall_clock_s=round(wall, 1),
+        ms_per_step=res["ms_per_step"],
+        best_test_auroc=round(res["best_auroc"], 4),
+        best_test_aupr=round(res["best_aupr"], 4),
+        best_iter=res["best_iter"],
+        pos_rate=POS_RATE, n_enc_edges=N_ENC, n_candidates=N_CAND,
+        nodes=[N_DRUG, N_DIS],
+        config="slabbed encoder + fused scale decoder, bf16, "
+               "default augmentation")
+    with open(os.path.join(SAVE_DIR, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print("SCALE_TRAIN_SUMMARY " + json.dumps(summary), flush=True)
+    ok = res["best_auroc"] > 0.75 and res["best_aupr"] > 2 * POS_RATE
+    print(f"LEARNING_{'OK' if ok else 'WEAK'}: best test AUROC "
+          f"{res['best_auroc']:.4f}, AUPR {res['best_aupr']:.4f} "
+          f"(base rate {POS_RATE})", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
