@@ -463,7 +463,10 @@ def bench_ring_efficiency(quick=False):
     n_nodes, n_edges, d = 100_000, 10_000_000, 128
     ici_bytes_per_s = 45e9
     rng = np.random.default_rng(7)
-    runs = 2 if quick else 3
+    # 2 instrument runs per row (the standalone script does 3): the
+    # whole-pass chains are stable (spreads <= 6% measured) and the
+    # bench must fit the driver's budget alongside the scale section.
+    runs = 2
 
     def build(S):
         n_sub = -(-n_nodes // S)
@@ -509,7 +512,7 @@ def bench_ring_efficiency(quick=False):
         lays, n_sub, e_sub = build(S)
         x = jnp.asarray(rng.normal(size=(n_sub, d)).astype(np.float32))
         occ = float(np.mean([p.fwd.occupancy for p in lays]))
-        n_links = int(np.clip(25_000_000 // (e_sub * S), 5, 64))
+        n_links = int(np.clip(12_000_000 // (e_sub * S), 5, 64))
         floor_f = S * spmm_gather_floor_ms(lays[0].fwd, d, packed=True)
         pass_f, spr_f = measure(ring_fwd, x, lays, n_links, floor_f,
                                 f"ring pass fwd S={S}")

@@ -48,6 +48,11 @@ from dream_gnn_tpu.kernels import pallas_decoder as pd
 
 _LANE = 128          # disease cells per sub-row (vreg lanes)
 _ROWS = 32           # drug rows per tile
+# MEASUREMENT-ONLY knob (scripts/probe_grid_tiles.py): cast the
+# dropout-scaled activations + masks to bf16 inside the tile so
+# bigger tiles fit the backward's VMEM.  Default off — numerics of
+# the production kernel are unchanged.
+_HALF_INTERMEDIATES = False
 
 
 def _round_up(x: int, m: int) -> int:
@@ -80,11 +85,17 @@ def _tile_forward(asm, pd_t, pv_t, b1, w2, b2, rate, train, dtype):
     # than the halved prng_random_bits saves.
     m1 = pd._dropout_mask(h1.shape, rate) if use_drop else None
     h1d = h1 * m1 if use_drop else h1
+    if _HALF_INTERMEDIATES:
+        h1d = h1d.astype(jnp.bfloat16)
+        m1 = m1.astype(jnp.bfloat16) if use_drop else None
     a2 = jnp.dot(h1d.astype(dtype), w2.astype(dtype),
                  preferred_element_type=jnp.float32) + b2
     h2 = jnp.maximum(a2, 0.0)
     m2 = pd._dropout_mask(h2.shape, rate) if use_drop else None
     h2d = h2 * m2 if use_drop else h2
+    if _HALF_INTERMEDIATES:
+        h2d = h2d.astype(jnp.bfloat16)
+        m2 = m2.astype(jnp.bfloat16) if use_drop else None
     return a1, h1d, m1, a2, h2d, m2
 
 

@@ -131,6 +131,15 @@ class ScaleDecoderLayout:
     inv_slot: jnp.ndarray         # (E,) int32
     n_drug: int = dataclasses.field(metadata=dict(static=True))
     n_dis: int = dataclasses.field(metadata=dict(static=True))
+    # Round-5 sequential-slab scatter layouts (pallas_seq_scatter.py):
+    # the phase probe measured the grouped scatters' XLA input
+    # relayout — (1M, 128) -> packed transposed — at 4.11 ms ALONE;
+    # the node-sorted streams need no gather, so these consume da1
+    # edge-major as emitted.  None on per-shard layouts built for the
+    # SPMD stacker (it pads/stacks the grouped fields; the grouped
+    # fallback keeps gradient parity there).
+    seq_drug: object = None
+    seq_dis: object = None
 
     @property
     def n_pos(self) -> int:
@@ -223,13 +232,24 @@ def build_scale_decoder_layout(dec_src, dec_dst, n_drug: int,
         dec_dst[flatm[livem]], ones, n_mpos, n_dis,
         span=STREAM_SPAN, window=STREAM_WINDOW)
 
+    from dream_gnn_tpu.kernels.pallas_seq_scatter import \
+        build_seq_scatter
+
+    seq_drug = build_seq_scatter(
+        np.where(live2, dec_src[np.minimum(flat2, e - 1)], 0), live2,
+        np.ones(n_pos, np.float32), n_drug)
+    seq_dis = build_seq_scatter(
+        np.where(livem, dec_dst[np.minimum(flatm, e - 1)], 0), livem,
+        np.ones(n_mpos, np.float32), n_dis)
+
     return ScaleDecoderLayout(
         fwd=fwd, mirror=mirror, scat_drug=scat_drug, scat_dis=scat_dis,
         dis_of_slot=jnp.asarray(dis_of_slot, jnp.int32),
         drug_of_mslot=jnp.asarray(drug_of_mslot, jnp.int32),
         gout_perm=jnp.asarray(gout_perm, jnp.int32),
         inv_slot=jnp.asarray(slot2, jnp.int32),
-        n_drug=n_drug, n_dis=n_dis)
+        n_drug=n_drug, n_dis=n_dis,
+        seq_drug=seq_drug, seq_dis=seq_dis)
 
 
 # ---------------------------------------------------------------------------
@@ -814,8 +834,12 @@ def _scale_decoder_bwd(rate, train, dtype, res, gout):
     gout = gout.astype(jnp.float32)
     da1, dw2, db2, dw3, db1 = _b1_call(
         layout, a1, gout, w2, b2, w3, seed, rate, train, dtype)
-    d_pd = _spmm_gather_raw(layout.scat_drug, da1,
-                            dtype=dtype)[: layout.n_drug]
+    if layout.seq_drug is not None:
+        from dream_gnn_tpu.kernels.pallas_seq_scatter import seq_scatter
+        d_pd = seq_scatter(layout.seq_drug, da1, dtype=dtype)
+    else:
+        d_pd = _spmm_gather_raw(layout.scat_drug, da1,
+                                dtype=dtype)[: layout.n_drug]
 
     # Mirror pass: recompute da1 in dis-sorted order (see module doc —
     # recompute beats the forbidden 1M-row permute), then scatter.
@@ -825,8 +849,12 @@ def _scale_decoder_bwd(rate, train, dtype, res, gout):
         [gout, jnp.zeros((1,), jnp.float32)])[layout.gout_perm]
     da1_m = _mirror_call(layout, proj_dis, buf_pd, gout_m, b1, w2, b2,
                          w3, seed, rate, train, dtype)
-    d_pv = _spmm_gather_raw(layout.scat_dis, da1_m,
-                            dtype=dtype)[: layout.n_dis]
+    if layout.seq_dis is not None:
+        from dream_gnn_tpu.kernels.pallas_seq_scatter import seq_scatter
+        d_pv = seq_scatter(layout.seq_dis, da1_m, dtype=dtype)
+    else:
+        d_pv = _spmm_gather_raw(layout.scat_dis, da1_m,
+                                dtype=dtype)[: layout.n_dis]
 
     db3 = jnp.sum(gout, keepdims=True)
 

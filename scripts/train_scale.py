@@ -156,8 +156,13 @@ def main():
         src_in_units=D, dst_in_units=D, fdim_drug=D, fdim_disease=D,
         nhid1=256, nhid2=128, compute_dtype="bfloat16",
         decoder_backend="pallas")
+    # valid_interval 100 (not the protocol's 250): at scale one fused
+    # interval dispatch is ~0.33 s/step — a 250-step interval is an
+    # ~81 s single dispatch, and the axon relay KILLS dispatches
+    # around ~90 s ("TPU worker process crashed"; measured: n=100 ok
+    # in 33 s, n=250 dies).  100 steps keeps margin.
     cfg = TrainConfig(model=model, beta=0.0, train_max_iter=ITERS,
-                      train_valid_interval=250, save_dir=SAVE_DIR,
+                      train_valid_interval=100, save_dir=SAVE_DIR,
                       checkpoint_every=1000, save_model=False)
     print(f"setup {time.perf_counter() - t_setup:.1f}s; training "
           f"{ITERS - 1} iters (eval every "

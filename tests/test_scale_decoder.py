@@ -23,10 +23,11 @@ from dream_gnn_tpu.nn.decoder import decoder_apply, decoder_init
 
 @pytest.fixture(autouse=True)
 def _interpret():
-    old, oldg = psd.INTERPRET, psg.INTERPRET
-    psd.INTERPRET = psg.INTERPRET = True
+    import dream_gnn_tpu.kernels.pallas_seq_scatter as psq
+    old, oldg, oldq = psd.INTERPRET, psg.INTERPRET, psq.INTERPRET
+    psd.INTERPRET = psg.INTERPRET = psq.INTERPRET = True
     yield
-    psd.INTERPRET, psg.INTERPRET = old, oldg
+    psd.INTERPRET, psg.INTERPRET, psq.INTERPRET = old, oldg, oldq
 
 
 @pytest.fixture
