@@ -512,7 +512,8 @@ def bench_ring_efficiency(quick=False):
         lays, n_sub, e_sub = build(S)
         x = jnp.asarray(rng.normal(size=(n_sub, d)).astype(np.float32))
         occ = float(np.mean([p.fwd.occupancy for p in lays]))
-        n_links = int(np.clip(12_000_000 // (e_sub * S), 5, 64))
+        budget = 6_000_000 if quick else 12_000_000
+        n_links = int(np.clip(budget // (e_sub * S), 5, 64))
         floor_f = S * spmm_gather_floor_ms(lays[0].fwd, d, packed=True)
         pass_f, spr_f = measure(ring_fwd, x, lays, n_links, floor_f,
                                 f"ring pass fwd S={S}")

@@ -110,6 +110,23 @@ def prf_keep_mask(salt: jnp.ndarray, edge_id: jnp.ndarray,
     return (u >= rate).astype(jnp.float32)
 
 
+def prf_mask_pair(pair, salt, rate: float):
+    """Apply a PRF edge-dropout mask to BOTH layouts of a fwd/bwd
+    pair (GroupedCooPair or SlabbedCooPair — anything whose layouts
+    carry ``val`` + physical ``edge_id``).  Keying on the shared
+    physical ids keeps the custom-VJP gradient exact: the forward and
+    transposed layouts see identical drops.  Shared by every grouped/
+    slabbed dispatch branch in nn/gcmc.py."""
+    import dataclasses as _dc
+
+    return _dc.replace(
+        pair,
+        fwd=_dc.replace(pair.fwd, val=pair.fwd.val * prf_keep_mask(
+            salt, pair.fwd.edge_id, rate)),
+        bwd=_dc.replace(pair.bwd, val=pair.bwd.val * prf_keep_mask(
+            salt, pair.bwd.edge_id, rate)))
+
+
 def edge_dropout_masks_grouped(key, graph, rate: float):
     """Per-relation salts for PRF edge dropout on a BipartiteGrouped
     encoder graph.  Forward/reverse relations drop independent sets

@@ -191,11 +191,15 @@ def _stream_layout(node_ids, n_nodes: int, e: int,
 def build_scale_decoder_layout(dec_src, dec_dst, n_drug: int,
                                n_dis: int,
                                rank_pad: int | None = None,
+                               build_seq: bool = True,
                                ) -> ScaleDecoderLayout:
     """Build stream + gradient-scatter layouts for a candidate list
     (host-side, static per fold).  ``rank_pad``: see
     ``_stream_layout`` — pass the common chunk size when building
-    per-shard layouts for the SPMD wrapper."""
+    per-shard layouts for the SPMD wrapper.  ``build_seq=False`` skips
+    the sequential-slab scatter layouts (the SPMD stacker discards
+    them — it pads/stacks the grouped fields — so per-shard builds
+    should not pay for them)."""
     dec_src = np.asarray(dec_src, np.int64)
     dec_dst = np.asarray(dec_dst, np.int64)
     e = len(dec_src)
@@ -232,15 +236,17 @@ def build_scale_decoder_layout(dec_src, dec_dst, n_drug: int,
         dec_dst[flatm[livem]], ones, n_mpos, n_dis,
         span=STREAM_SPAN, window=STREAM_WINDOW)
 
-    from dream_gnn_tpu.kernels.pallas_seq_scatter import \
-        build_seq_scatter
+    seq_drug = seq_dis = None
+    if build_seq:
+        from dream_gnn_tpu.kernels.pallas_seq_scatter import \
+            build_seq_scatter
 
-    seq_drug = build_seq_scatter(
-        np.where(live2, dec_src[np.minimum(flat2, e - 1)], 0), live2,
-        np.ones(n_pos, np.float32), n_drug)
-    seq_dis = build_seq_scatter(
-        np.where(livem, dec_dst[np.minimum(flatm, e - 1)], 0), livem,
-        np.ones(n_mpos, np.float32), n_dis)
+        seq_drug = build_seq_scatter(
+            np.where(live2, dec_src[np.minimum(flat2, e - 1)], 0),
+            live2, np.ones(n_pos, np.float32), n_drug)
+        seq_dis = build_seq_scatter(
+            np.where(livem, dec_dst[np.minimum(flatm, e - 1)], 0),
+            livem, np.ones(n_mpos, np.float32), n_dis)
 
     return ScaleDecoderLayout(
         fwd=fwd, mirror=mirror, scat_drug=scat_drug, scat_dis=scat_dis,

@@ -297,8 +297,15 @@ def _spmm_gather_raw(g: GroupedCoo, x: jnp.ndarray,
     if _ablate not in (None, "gather_only", "no_mask", "no_matmul"):
         raise ValueError(f"unknown ablate mode {_ablate!r}")
     gpc = g.src_local.shape[1]   # groups per chunk (layout-adaptive)
-    gb = GROUP_BATCH if group_batch is None else group_batch
-    gb = min(gb, gpc)
+    if group_batch is None:
+        gb = min(GROUP_BATCH, gpc)   # default clamps to small layouts
+    else:
+        gb = group_batch
+        if gb > gpc:
+            # An EXPLICIT group_batch above gpc would silently time the
+            # identical program as group_batch=gpc — reject so sweeps
+            # cannot record a fake null result.
+            raise ValueError(f"group_batch {gb} > layout gpc {gpc}")
     if gpc % gb:
         raise ValueError(f"group_batch {gb} must divide gpc {gpc}")
     d = x.shape[1]

@@ -188,6 +188,22 @@ def _spmm_slab_raw(g: SlabbedCoo, x: jnp.ndarray,
         xt = (half[: d // 2] << 16) | half[d // 2:]
     panel_rows = d // 2 if packed else d
     panel_dtype = jnp.uint32 if packed else jnp.float32
+    # auto_geometry budgets the panel ring for PACKED (d/2) rows — an
+    # unpacked (fp32 / odd-d) call on a packed-budgeted layout can blow
+    # the 16 MiB scoped-VMEM limit at compile time with an opaque
+    # remote error.  Check the ACTUAL residents here and fail clearly.
+    from dream_gnn_tpu.graph.slabbed import NSLOTS_V3 as _NS
+    resident = (_NS * span * SUB * panel_rows * 4
+                + 2 * g.k * d * g.tile * 4
+                + g.tile * cs * SUB * 4)
+    if resident > 15 * 2 ** 20:
+        raise ValueError(
+            f"slab kernel residents {resident / 2**20:.1f} MiB exceed "
+            f"the ~16 MiB scoped-VMEM limit for packed={packed} "
+            f"(span={span}, tile={g.tile}, k={g.k}); rebuild the "
+            f"layout with slabbed_from_arrays(..., "
+            f"d={d if packed else 2 * d}) so auto_geometry budgets "
+            f"for unpacked panels")
     xt3 = xt.reshape(panel_rows, g.n_src_pad // SUB, SUB).transpose(
         1, 0, 2)
 

@@ -144,25 +144,12 @@ def gcmc_layer_apply(params, graph: BipartiteGraph,
                 if edge_masks is not None:
                     assert edge_masks.get("kind") == "grouped_prf", \
                         "sharded-grouped layout needs PRF edge masks"
-                    import dataclasses as _dc
-
-                    from dream_gnn_tpu.augment.masks import prf_keep_mask
+                    from dream_gnn_tpu.augment.masks import prf_mask_pair
                     rate = edge_masks["rate"]
-
-                    def _mask_pair(pair, salt):
-                        return _dc.replace(
-                            pair,
-                            fwd=_dc.replace(pair.fwd, val=pair.fwd.val *
-                                            prf_keep_mask(salt,
-                                                          pair.fwd.edge_id,
-                                                          rate)),
-                            bwd=_dc.replace(pair.bwd, val=pair.bwd.val *
-                                            prf_keep_mask(salt,
-                                                          pair.bwd.edge_id,
-                                                          rate)))
-
-                    g_f = _mask_pair(g_f, edge_masks["fwd_salts"][r])
-                    g_r = _mask_pair(g_r, edge_masks["rev_salts"][r])
+                    g_f = prf_mask_pair(g_f, edge_masks["fwd_salts"][r],
+                                        rate)
+                    g_r = prf_mask_pair(g_r, edge_masks["rev_salts"][r],
+                                        rate)
                 n_shards = graph.mesh.shape[graph.axis]
                 # ring=True: double-buffered ppermute halo exchange
                 # overlapped with the per-block local aggregation.
@@ -208,25 +195,12 @@ def gcmc_layer_apply(params, graph: BipartiteGraph,
                 if edge_masks is not None:
                     assert edge_masks.get("kind") == "grouped_prf", \
                         "slabbed layout needs PRF edge masks"
-                    import dataclasses as _dc
-
-                    from dream_gnn_tpu.augment.masks import prf_keep_mask
+                    from dream_gnn_tpu.augment.masks import prf_mask_pair
                     rate = edge_masks["rate"]
-
-                    def _mask_pair(pair, salt):
-                        return _dc.replace(
-                            pair,
-                            fwd=_dc.replace(pair.fwd, val=pair.fwd.val *
-                                            prf_keep_mask(salt,
-                                                          pair.fwd.edge_id,
-                                                          rate)),
-                            bwd=_dc.replace(pair.bwd, val=pair.bwd.val *
-                                            prf_keep_mask(salt,
-                                                          pair.bwd.edge_id,
-                                                          rate)))
-
-                    g_f = _mask_pair(g_f, edge_masks["fwd_salts"][r])
-                    g_r = _mask_pair(g_r, edge_masks["rev_salts"][r])
+                    g_f = prf_mask_pair(g_f, edge_masks["fwd_salts"][r],
+                                        rate)
+                    g_r = prf_mask_pair(g_r, edge_masks["rev_salts"][r],
+                                        rate)
                 msg_dis = msg_dis + spmm_slab(g_f, hd * cj_d)
                 msg_drug = msg_drug + spmm_slab(g_r, hv * cj_v)
             elif isinstance(graph, BipartiteGrouped):
@@ -241,25 +215,12 @@ def gcmc_layer_apply(params, graph: BipartiteGraph,
                 if edge_masks is not None:
                     assert edge_masks.get("kind") == "grouped_prf", \
                         "grouped layout needs PRF edge masks"
-                    import dataclasses as _dc
-
-                    from dream_gnn_tpu.augment.masks import prf_keep_mask
+                    from dream_gnn_tpu.augment.masks import prf_mask_pair
                     rate = edge_masks["rate"]
-
-                    def _mask_pair(pair, salt):
-                        return _dc.replace(
-                            pair,
-                            fwd=_dc.replace(pair.fwd, val=pair.fwd.val *
-                                            prf_keep_mask(salt,
-                                                          pair.fwd.edge_id,
-                                                          rate)),
-                            bwd=_dc.replace(pair.bwd, val=pair.bwd.val *
-                                            prf_keep_mask(salt,
-                                                          pair.bwd.edge_id,
-                                                          rate)))
-
-                    g_f = _mask_pair(g_f, edge_masks["fwd_salts"][r])
-                    g_r = _mask_pair(g_r, edge_masks["rev_salts"][r])
+                    g_f = prf_mask_pair(g_f, edge_masks["fwd_salts"][r],
+                                        rate)
+                    g_r = prf_mask_pair(g_r, edge_masks["rev_salts"][r],
+                                        rate)
                 msg_dis = msg_dis + spmm_gather(g_f, hd * cj_d)
                 msg_drug = msg_drug + spmm_gather(g_r, hv * cj_v)
             else:

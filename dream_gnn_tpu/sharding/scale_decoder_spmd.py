@@ -143,7 +143,7 @@ def build_scale_decoder_layout_sharded(
         lo, hi = s * chunk, min(e, (s + 1) * chunk)
         per.append(build_scale_decoder_layout(
             dec_src[lo:hi], dec_dst[lo:hi], n_drug, n_dis,
-            rank_pad=chunk))
+            rank_pad=chunk, build_seq=False))
         e_locs.append(hi - lo)
 
     # Globalise the stream layouts' candidate ids (PRF masks, labels).

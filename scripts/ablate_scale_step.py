@@ -72,6 +72,12 @@ def inputs_for(n_cand, fused=True):
             (r.random(n_cand) < 0.3).astype(np.float32), None)
     csrc, cdst, raw_labels, dec_layout = _layout_cache[n_cand]
     labels, weights = jnp.asarray(raw_labels), None
+    if not fused:
+        # XLA rows must NOT carry the cached fused layout: it would
+        # ride as a huge unused jit argument, and any future fused
+        # call would silently pair slot-order preds with raw-order
+        # labels.
+        dec_layout = None
     if fused:
         from dream_gnn_tpu.kernels.pallas_scale_decoder import (
             build_scale_decoder_layout)

@@ -32,7 +32,8 @@ import numpy as np
 from dream_gnn_tpu.graph.slabbed import (SUB, slabbed_from_arrays,
                                          slabbed_pair_from_arrays)
 from dream_gnn_tpu.utils.timing import (HBM_BYTES_PER_S, MXU_MACS_PER_S,
-                                        ImplausibleTiming, chained_ms)
+                                        ImplausibleTiming, chained_ms,
+                                        spmm_slab_floor_ms)
 import dream_gnn_tpu.kernels.pallas_spmm_slab as pss
 
 small = "--small" in sys.argv
@@ -48,15 +49,13 @@ x = jnp.asarray(rng.normal(size=(n_src, d)).astype(np.float32))
 
 
 def floor_ms(g, packed=True):
+    # Floor itself comes from the SHARED helper (one formula for the
+    # kernel); this wrapper only adds the roofline attribution terms.
     slots = g.val.size
     macs = slots * g.tile * d
     pr = d // 2 if packed else d
     panel_bytes = (int(g.trans_sb.shape[0]) - 1) * g.span * SUB * pr * 4
-    edge_bytes = slots * 4 * 3
-    out_bytes = g.n_tiles_pad * d * g.tile * 4
-    hbm = (panel_bytes + edge_bytes + out_bytes) / HBM_BYTES_PER_S * 1e3
-    mxu = macs / MXU_MACS_PER_S * 1e3
-    return max(hbm, mxu), macs, panel_bytes
+    return spmm_slab_floor_ms(g, d, packed), macs, panel_bytes
 
 
 def roofline(g, ms, packed=True):

@@ -193,7 +193,10 @@ def main():
     print(f"LEARNING_{'OK' if ok else 'WEAK'}: best test AUROC "
           f"{res['best_auroc']:.4f}, AUPR {res['best_aupr']:.4f} "
           f"(base rate {POS_RATE})", flush=True)
-    return 0
+    # Exit status mirrors the check (like aupr_gate_check.py) so
+    # automation can tell pass from fail.  Tiny --iters smoke runs
+    # naturally report WEAK -> nonzero; that is correct.
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":
