@@ -338,7 +338,14 @@ class BipartiteSlabbed:
 
 def build_enc_graph_slabbed(pairs, values, n_drug: int, n_dis: int,
                             symm: bool = True,
-                            ratings=(0, 1)) -> BipartiteSlabbed:
+                            ratings=(0, 1),
+                            d: int = 128) -> BipartiteSlabbed:
+    """``d``: the feature width the kernels will stream (the model's
+    effective message units — 128 for the scale config's layer shapes:
+    gcn_agg_units=384 // 3 for layer 0, gcn_out_units for the rest).
+    auto_geometry budgets the scoped-VMEM residents for this width;
+    the kernel re-checks at call time and raises a clear error on a
+    mismatch that would overflow the 16 MiB limit."""
     pairs = np.asarray(pairs)
     values = np.asarray(values)
     fwd, rev = [], []
@@ -346,8 +353,10 @@ def build_enc_graph_slabbed(pairs, values, n_drug: int, n_dis: int,
         idx = np.where(values == r)[0]
         dr, di = pairs[0][idx], pairs[1][idx]
         ones = np.ones(len(idx), np.float32)
-        fwd.append(slabbed_pair_from_arrays(dr, di, ones, n_drug, n_dis))
-        rev.append(slabbed_pair_from_arrays(di, dr, ones, n_dis, n_drug))
+        fwd.append(slabbed_pair_from_arrays(dr, di, ones, n_drug,
+                                            n_dis, d=d))
+        rev.append(slabbed_pair_from_arrays(di, dr, ones, n_dis,
+                                            n_drug, d=d))
 
     from dream_gnn_tpu.graph.norms import inv_sqrt_norm
 

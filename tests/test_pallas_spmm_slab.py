@@ -264,3 +264,18 @@ def test_slab_ablate_modes_change_the_program():
     for ab, out in outs.items():
         assert not np.allclose(out, base), ab
     assert not np.allclose(outs["gather_only"], outs["no_matmul"])
+
+
+def test_vmem_guard_rejects_unbudgeted_width():
+    """A layout budgeted for packed d=128 panels must refuse an
+    unpacked wide call with a clear error instead of dying in the
+    remote Mosaic compiler (r5 review finding)."""
+    rng = np.random.default_rng(2)
+    ns = nd = 20000
+    src = rng.integers(0, ns, 50000)
+    dst = rng.integers(0, nd, 50000)
+    val = np.ones(50000, np.float32)
+    g = slabbed_from_arrays(src, dst, val, ns, nd, span=128, tile=256)
+    x = jnp.asarray(rng.normal(size=(ns, 384)).astype(np.float32))
+    with pytest.raises(ValueError, match="scoped-VMEM"):
+        pss._spmm_slab_raw(g, x, dtype=jnp.float32)
