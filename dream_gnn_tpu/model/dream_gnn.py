@@ -31,6 +31,9 @@ from dream_gnn_tpu.nn.decoder import (decoder_apply, decoder_apply_grid,
 from dream_gnn_tpu.nn.fgcn import fgcn_apply, fgcn_init
 from dream_gnn_tpu.nn.gcmc import gcmc_layer_apply, gcmc_layer_init
 
+# Measurement-only (see the dispatch site below); default off.
+_BARRIER_SCALE_DECODER = False
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
@@ -168,6 +171,14 @@ def forward(params, inputs: ModelInputs, cfg: ModelConfig, *,
         return pred, drug_out, drug_sim_out, dis_out, dis_sim_out
 
     if cfg.decoder_backend == "pallas" and inputs.dec_layout is not None:
+        if _BARRIER_SCALE_DECODER:
+            # MEASUREMENT-ONLY knob (scripts/probe_step_context.py):
+            # fence the encoder outputs so XLA cannot fuse/reschedule
+            # encoder work into the decoder phase — probes whether the
+            # ~13 ms "step context" (docs §4) is a pessimizing
+            # cross-phase schedule.
+            drug_feats, dis_feats = jax.lax.optimization_barrier(
+                (drug_feats, dis_feats))
         from dream_gnn_tpu.sharding.scale_decoder_spmd import (
             ShardedScaleDecoderLayout, decoder_apply_scale_spmd)
         if isinstance(inputs.dec_layout, ShardedScaleDecoderLayout):
